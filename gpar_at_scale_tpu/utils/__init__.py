@@ -1,0 +1,26 @@
+from gpar_at_scale_tpu.utils.params import (
+    constrain,
+    unconstrain,
+    unpack_gp,
+    unpack_gpar,
+    pack_gp,
+    pack_gpar,
+    init_gp_params,
+    init_gpar_params,
+)
+from gpar_at_scale_tpu.utils.psd import add_jitter, cholesky_psd, solve_lower, solve_upper
+
+__all__ = [
+    "constrain",
+    "unconstrain",
+    "unpack_gp",
+    "unpack_gpar",
+    "pack_gp",
+    "pack_gpar",
+    "init_gp_params",
+    "init_gpar_params",
+    "add_jitter",
+    "cholesky_psd",
+    "solve_lower",
+    "solve_upper",
+]

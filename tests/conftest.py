@@ -1,0 +1,56 @@
+"""Test harness configuration.
+
+Runs everything on CPU with 8 virtual XLA devices so multi-chip sharding
+paths are exercised without TPU hardware (SURVEY.md §4 implication (c)).
+
+The session environment registers the TPU-tunnel PJRT plugin (axon) from a
+``sitecustomize.py`` at interpreter start — before this file runs — and its
+remote-compile hook both stalls and degrades CPU compiles.  The only clean
+escape is to re-exec pytest once with a scrubbed environment.
+"""
+
+import os
+import sys
+
+_SCRUB = (
+    "PALLAS_AXON_POOL_IPS",
+    "PALLAS_AXON_REMOTE_COMPILE",
+    "PALLAS_AXON_TPU_GEN",
+    "AXON_LOOPBACK_RELAY",
+    "AXON_POOL_SVC_OVERRIDE",
+)
+
+# The re-exec itself lives in the root-level pytest plugin
+# ``gpar_tpu_testenv`` (loaded via pytest.ini addopts) — a conftest-defined
+# ``pytest_load_initial_conftests`` impl would register too late to fire.
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# Oracle comparisons need f64; library code stays dtype-polymorphic.
+jax.config.update("jax_enable_x64", True)
+
+# XLA:CPU compiles are slow in this sandbox (~1.4 s per executable); the
+# persistent cache makes re-runs cheap.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

@@ -1,0 +1,212 @@
+"""State-space engine vs. dense-GP oracle.
+
+Property tests from SURVEY.md §4: scan lml == dense logpdf for Matern
+kernels; whitening norm identity ||decorrelate(y)||^2 == y^T Sigma^-1 y;
+smoother marginals == dense GP posterior; the infinite-noise splice trick
+reproduces prediction at unobserved points.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpar_at_scale_tpu.gp.exact import condition, log_marginal_likelihood
+from gpar_at_scale_tpu.kernels import Matern12, Matern32, Matern52
+from gpar_at_scale_tpu.ssm.kalman import (
+    decorrelate,
+    kalman_filter,
+    log_det_cov,
+    logpdf,
+    posterior_sample,
+    rts_smooth,
+)
+from gpar_at_scale_tpu.ssm.markov import lgssm_of, to_sde, discretize
+
+FAMS = [Matern12, Matern32, Matern52]
+
+
+def _grid(rng, n=40):
+    t = np.sort(rng.uniform(0, 5, size=n))
+    return jnp.array(t)
+
+
+@pytest.mark.parametrize("family", FAMS)
+def test_lgssm_marginal_cov_matches_kernel(family, rng):
+    """The LGSSM's implied prior covariance of f at the grid == kernel gram."""
+    t = _grid(rng, 25)
+    k = family(lengthscale=0.7, variance=1.3)
+    lgssm = lgssm_of(k, t, 0.0)
+    # Build implied covariance by propagating: cov(f_i, f_j) = H M_ij H^T.
+    n = len(t)
+    d = lgssm.dim
+    # state cross-covariances via the recursion C_{k+1} = A_{k+1} C_k
+    P = np.zeros((n, d, d))
+    A = np.asarray(lgssm.A)
+    Q = np.asarray(lgssm.Q)
+    H = np.asarray(lgssm.H)
+    # marginal state covs: P_k = A P_{k-1} A^T + Q (prior, no conditioning)
+    prev = np.zeros((d, d))
+    for i in range(n):
+        prev = A[i] @ prev @ A[i].T + Q[i]
+        P[i] = prev
+    K_implied = np.zeros((n, n))
+    for i in range(n):
+        C = P[i]
+        K_implied[i, i] = H @ C @ H
+        for j in range(i + 1, n):
+            C = C @ A[j].T  # cov(x_i, x_j) = cov(x_i, x_{j-1}) A_j^T
+            K_implied[i, j] = H @ C @ H
+            K_implied[j, i] = K_implied[i, j]
+    K_dense = np.asarray(k(t[:, None]))
+    np.testing.assert_allclose(K_implied, K_dense, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("family", FAMS)
+def test_logpdf_matches_dense(family, rng):
+    t = _grid(rng)
+    y = jnp.array(rng.normal(size=len(t)))
+    k = family(lengthscale=0.9, variance=0.8)
+    nv = 0.3**2
+    lgssm = lgssm_of(k, t, nv)
+    got = logpdf(lgssm, y)
+    want = log_marginal_likelihood(k, t[:, None], y, nv)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_logpdf_heterogeneous_noise(rng):
+    t = _grid(rng, 30)
+    y = jnp.array(rng.normal(size=30))
+    nv = jnp.array(rng.uniform(0.01, 0.5, size=30))
+    k = Matern52(lengthscale=1.1, variance=0.6)
+    lgssm = lgssm_of(k, t, nv)
+    got = logpdf(lgssm, y)
+    want = log_marginal_likelihood(k, t[:, None], y, nv)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_decorrelate_whitening_identity(rng):
+    """||alpha||^2 == y^T Sigma^-1 y and lml == dense logpdf."""
+    t = _grid(rng, 35)
+    y = np.asarray(rng.normal(size=35))
+    k = Matern32(lengthscale=0.5, variance=1.0)
+    nv = 0.2**2
+    lgssm = lgssm_of(k, t, nv)
+    lml, alpha = decorrelate(lgssm, jnp.array(y))
+    K = np.asarray(k(t[:, None])) + nv * np.eye(35)
+    quad = y @ np.linalg.solve(K, y)
+    np.testing.assert_allclose(np.sum(np.asarray(alpha) ** 2), quad, rtol=1e-8)
+    np.testing.assert_allclose(lml, log_marginal_likelihood(k, t[:, None], jnp.array(y), nv), rtol=1e-8)
+
+
+def test_decorrelate_batched_matches_columnwise(rng):
+    """One batched pass == the reference's M sequential passes (K6 fix)."""
+    t = _grid(rng, 20)
+    Y = jnp.array(rng.normal(size=(20, 5)))
+    k = Matern52(lengthscale=0.8, variance=1.0)
+    lgssm = lgssm_of(k, t, 0.1)
+    lml_b, alpha_b = decorrelate(lgssm, Y)
+    for j in range(5):
+        lml_j, alpha_j = decorrelate(lgssm, Y[:, j])
+        np.testing.assert_allclose(alpha_b[:, j], alpha_j, rtol=1e-10)
+        np.testing.assert_allclose(lml_b[j], lml_j, rtol=1e-10)
+
+
+def test_decorrelate_is_linear_whitening(rng):
+    """alpha = W y for the same lower-triangular W regardless of y; W^T W = Sigma^-1."""
+    t = _grid(rng, 12)
+    k = Matern12(lengthscale=0.6, variance=0.9)
+    nv = 0.15
+    lgssm = lgssm_of(k, t, nv)
+    _, W_cols = decorrelate(lgssm, jnp.eye(12))
+    W = np.asarray(W_cols)  # columns = W e_j
+    K = np.asarray(k(t[:, None])) + nv * np.eye(12)
+    np.testing.assert_allclose(W.T @ W, np.linalg.inv(K), rtol=1e-6, atol=1e-8)
+    # lower triangular
+    np.testing.assert_allclose(np.triu(W, 1), 0.0, atol=1e-10)
+
+
+def test_log_det_cov(rng):
+    t = _grid(rng, 18)
+    k = Matern52(lengthscale=0.5, variance=2.0)
+    nv = 0.3
+    lgssm = lgssm_of(k, t, nv)
+    K = np.asarray(k(t[:, None])) + nv * np.eye(18)
+    np.testing.assert_allclose(log_det_cov(lgssm), np.linalg.slogdet(K)[1], rtol=1e-8)
+
+
+@pytest.mark.parametrize("family", FAMS)
+def test_smoother_matches_dense_posterior(family, rng):
+    """Smoothed marginals at the grid == dense GP posterior with noise."""
+    t = _grid(rng, 30)
+    y = jnp.array(rng.normal(size=30))
+    k = family(lengthscale=0.8, variance=1.2)
+    nv = 0.1
+    lgssm = lgssm_of(k, t, nv)
+    sm = rts_smooth(lgssm, y)
+    post = condition(k, t[:, None], y, nv)
+    mu, var = post.predict_f(t[:, None])
+    np.testing.assert_allclose(sm.mean, mu, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(sm.var, var, rtol=1e-4, atol=1e-8)
+
+
+def test_infinite_noise_splice_predicts(rng):
+    """The 1e10-noise-at-test-points trick (src/gp/temporal_gp_inference.jl:93-97)
+    == dense GP prediction at those points."""
+    t_train = np.sort(rng.uniform(0, 4, size=25))
+    t_test = np.sort(rng.uniform(0, 5, size=10))
+    y_train = rng.normal(size=25)
+    k = Matern52(lengthscale=0.9, variance=1.0)
+    nv = 0.05
+
+    t_all = np.concatenate([t_train, t_test])
+    y_all = np.concatenate([y_train, np.zeros(10)])
+    noise_all = np.concatenate([np.full(25, nv), np.full(10, 1e10)])
+    order = np.argsort(t_all)
+    inv = np.argsort(order)
+
+    lgssm = lgssm_of(k, jnp.array(t_all[order]), jnp.array(noise_all[order]))
+    sm = rts_smooth(lgssm, jnp.array(y_all[order]))
+    mean_unsorted = np.asarray(sm.mean)[inv]
+    var_unsorted = np.asarray(sm.var)[inv]
+
+    post = condition(k, t_train[:, None], jnp.array(y_train), nv)
+    mu, var = post.predict_f(t_test[:, None])
+    np.testing.assert_allclose(mean_unsorted[25:], mu, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(var_unsorted[25:], var, rtol=1e-3, atol=1e-6)
+
+
+def test_posterior_sample_moments(key, rng):
+    t = _grid(rng, 15)
+    y = jnp.array(rng.normal(size=15))
+    k = Matern32(lengthscale=1.0, variance=1.0)
+    nv = 0.2
+    lgssm = lgssm_of(k, t, nv)
+    samples = posterior_sample(key, lgssm, y, num_samples=3000)
+    sm = rts_smooth(lgssm, y)
+    np.testing.assert_allclose(samples.mean(0), sm.mean, atol=0.08)
+    np.testing.assert_allclose(samples.var(0), sm.var, atol=0.08)
+
+
+def test_sum_kernel_sde(rng):
+    """Sum of Materns -> block-diagonal SDE; logpdf still matches dense."""
+    t = _grid(rng, 20)
+    y = jnp.array(rng.normal(size=20))
+    k = Matern12(lengthscale=0.4, variance=0.5) + Matern52(lengthscale=1.5, variance=0.8)
+    nv = 0.1
+    lgssm = lgssm_of(k, t, nv)
+    got = logpdf(lgssm, y)
+    want = log_marginal_likelihood(k, t[:, None], y, nv)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_filter_gradients_flow(rng):
+    t = _grid(rng, 15)
+    y = jnp.array(rng.normal(size=15))
+
+    def nlml(log_l):
+        k = Matern52(lengthscale=jnp.exp(log_l), variance=1.0)
+        return -logpdf(lgssm_of(k, t, 0.1), y)
+
+    g = jax.grad(nlml)(jnp.array(0.0))
+    assert np.isfinite(g) and abs(g) > 0
