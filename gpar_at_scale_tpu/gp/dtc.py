@@ -60,8 +60,15 @@ class DTCIntermediates(NamedTuple):
     logdet_noise: jnp.ndarray  # scalar, log det Sigma_y from the scan
 
 
-def _whiten_all(out_kernel: Kernel, V, Z, lgssm: LGSSM, y, mean, uu_ridge):
-    """One batched Kalman pass whitening [y - mean | K_fu columns]."""
+@jax.default_matmul_precision("highest")
+def _whiten_all(out_kernel: Kernel, V, Z, lgssm: LGSSM, y, mean, uu_ridge, filter_fn=None):
+    """One batched Kalman pass whitening [y - mean | K_fu columns].
+
+    filter_fn: the Kalman filter implementation — ``kalman_filter``
+    (sequential scan, default) or ``pkalman.parallel_filter``
+    (associative scan, O(log N) depth; shardable over the time axis)."""
+    if filter_fn is None:
+        filter_fn = kalman_filter
     V = _as_2d(V)
     Z = _as_2d(Z)
     y = jnp.asarray(y)
@@ -75,7 +82,7 @@ def _whiten_all(out_kernel: Kernel, V, Z, lgssm: LGSSM, y, mean, uu_ridge):
     L_uu = cholesky_psd(Kuu)
 
     batch = jnp.concatenate([(y - mean)[:, None], Kfu], axis=1)  # (N, M+1)
-    res = kalman_filter(lgssm, batch)
+    res = filter_fn(lgssm, batch)
     white = res.v / jnp.sqrt(res.S)[:, None]  # (N, M+1)
     alpha = white[:, 0]
     beta = white[:, 1:]  # (N, M)
@@ -84,6 +91,7 @@ def _whiten_all(out_kernel: Kernel, V, Z, lgssm: LGSSM, y, mean, uu_ridge):
     return DTCIntermediates(alpha=alpha, A=A, L_uu=L_uu, logdet_noise=logdet_noise)
 
 
+@jax.default_matmul_precision("highest")
 def dtc_objective(
     out_kernel: Kernel,
     time_lgssm: LGSSM,
@@ -92,6 +100,7 @@ def dtc_objective(
     y,
     mean=0.0,
     uu_ridge: Optional[float] = None,
+    filter_fn=None,
 ):
     """The DTC evidence bound (``compute_gpar_dtc_objective``,
     ``src/gp/dtc.jl:83-128``), O(N M^2) with O(N (M+1)) filter work.
@@ -101,7 +110,7 @@ def dtc_objective(
     noise, ``src/gp/dtc.jl:35``) but not in q(u) — pass ``noise_var`` to
     replicate; default None uses the engine-wide relative jitter only.
     """
-    inter = _whiten_all(out_kernel, V, Z, time_lgssm, y, mean, uu_ridge)
+    inter = _whiten_all(out_kernel, V, Z, time_lgssm, y, mean, uu_ridge, filter_fn)
     n = jnp.shape(jnp.asarray(y))[0]
     Lam = inter.A @ inter.A.T + jnp.eye(inter.A.shape[0], dtype=inter.A.dtype)
     L_lam = jnp.linalg.cholesky(Lam)
@@ -128,6 +137,7 @@ class QU(NamedTuple):
         return self.m_eps[:, None] + solve_upper(self.L_D, xi)
 
 
+@jax.default_matmul_precision("highest")
 def compute_q_u(
     out_kernel: Kernel,
     time_lgssm: LGSSM,
@@ -136,12 +146,13 @@ def compute_q_u(
     y,
     mean=0.0,
     uu_ridge: Optional[float] = None,
+    filter_fn=None,
 ) -> QU:
     """Closed-form whitened posterior over inducing points.
 
     Unlike the reference (K4), the prior mean is subtracted from y here too
     (``src/gp/gpar_scaled_inference.jl:182`` TODO)."""
-    inter = _whiten_all(out_kernel, V, Z, time_lgssm, y, mean, uu_ridge)
+    inter = _whiten_all(out_kernel, V, Z, time_lgssm, y, mean, uu_ridge, filter_fn)
     M = inter.A.shape[0]
     D = inter.A @ inter.A.T + jnp.eye(M, dtype=inter.A.dtype)
     L_D = jnp.linalg.cholesky(D)
@@ -155,6 +166,7 @@ class ScaledPrediction(NamedTuple):
     var: jnp.ndarray  # (N*,) latent-function variance (no obs noise)
 
 
+@jax.default_matmul_precision("highest")
 def predict_scaled(
     out_kernel: Kernel,
     time_kernel: Kernel,
@@ -249,6 +261,7 @@ def predict_scaled(
 # ---------------------------------------------------------------------------
 
 
+@jax.default_matmul_precision("highest")
 def dtc_objective_iid(kernel: Kernel, V, Z, y, noise_var, mean=0.0):
     """Collapsed DTC bound with iid noise sigma^2 I (dense-free: O(N M^2)).
 
@@ -274,6 +287,7 @@ def dtc_objective_iid(kernel: Kernel, V, Z, y, noise_var, mean=0.0):
     return -0.5 * (n * _LOG_2PI + logdet + quad)
 
 
+@jax.default_matmul_precision("highest")
 def titsias_elbo(kernel: Kernel, V, Z, y, noise_var, mean=0.0):
     """Titsias (2009) collapsed variational lower bound =
     DTC bound - 1/(2 s2) * trace(K_ff - Q_ff).
@@ -293,6 +307,7 @@ def titsias_elbo(kernel: Kernel, V, Z, y, noise_var, mean=0.0):
     return dtc_objective_iid(kernel, V, Z, y, noise_var, mean) - trace_term
 
 
+@jax.default_matmul_precision("highest")
 def predict_sparse_iid(kernel: Kernel, V, Z, y, noise_var, V_star, mean=0.0):
     """Sparse predictive (projected-process / Titsias q(u)-based) with iid
     noise: mean = K_*u Sigma^-1 K_uf y / s2, var = k_** - diag(K_*u (K_uu^-1 -

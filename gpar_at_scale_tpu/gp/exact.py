@@ -29,6 +29,7 @@ from gpar_at_scale_tpu.utils.psd import (
 _LOG_2PI = 1.8378770664093453
 
 
+@jax.default_matmul_precision("highest")
 def log_marginal_likelihood(kernel: Kernel, x, y, noise_var, mean=0.0):
     """Exact GP log marginal likelihood log N(y | mean, K + noise_var * I).
 
@@ -103,6 +104,7 @@ class GPPosterior:
         return mean[None, :] + eps @ L.T
 
 
+@jax.default_matmul_precision("highest")
 def condition(kernel: Kernel, x, y, noise_var, mean=0.0) -> GPPosterior:
     """Build the posterior ``f | (f(x, noise_var) <- y)``."""
     x = _as_2d(x)

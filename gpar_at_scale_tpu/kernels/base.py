@@ -102,10 +102,16 @@ def sq_dist(x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     ||x - z||^2 = ||x||^2 + ||z||^2 - 2 <x, z>.  The -2<x,z> term is an
     (N,D)x(D,M) matmul that XLA tiles onto the MXU; the norms fuse into the
     epilogue.  Clamped at 0 against cancellation error.
+
+    Full f32 precision is forced: the TPU's default bf16 matmul passes lose
+    ~3 decimal digits, which (after the +/- cancellation) is enough to break
+    the PSD-ness of near-singular kernel grams (e.g. inducing points ==
+    inputs) and NaN the Cholesky downstream.
     """
-    xn = jnp.sum(x * x, axis=-1)
-    zn = jnp.sum(z * z, axis=-1)
-    cross = x @ z.T
+    with jax.default_matmul_precision("highest"):
+        xn = jnp.sum(x * x, axis=-1)
+        zn = jnp.sum(z * z, axis=-1)
+        cross = x @ z.T
     d2 = xn[:, None] + zn[None, :] - 2.0 * cross
     return jnp.maximum(d2, 0.0)
 

@@ -231,14 +231,17 @@ def fit_conditional(key, t, X_prev, y, cfg: GPARConfig, init_params=None) -> Fit
         time_k = time_kernel_only(cfg.time_family, tl, ts)
         out_k = cfg.out_family(lengthscale=ol, variance=osig**2)
         lgssm = lgssm_of(time_k, t_s, ns**2, cfg.dtype)
-        return -dtc_objective(out_k, lgssm, X_s, Z, y_s)
+        # uu_ridge = s2 mirrors the reference (its FiniteGP u carries the
+        # observation noise, src/gp/dtc.jl:35) and keeps chol(K_uu) stable
+        # when the out-lengthscale grows and K_uu approaches rank one.
+        return -dtc_objective(out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2)
 
     res = _minimize(cfg, nlml, x0)
     tl, ts, ol, osig, ns = unpack_gpar(res.params)
     time_k = time_kernel_only(cfg.time_family, tl, ts)
     out_k = cfg.out_family(lengthscale=ol, variance=osig**2)
     lgssm = lgssm_of(time_k, t_s, ns**2, cfg.dtype)
-    qu = compute_q_u(out_k, lgssm, X_s, Z, y_s)
+    qu = compute_q_u(out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2)
     return FittedConditional(
         params=res.params,
         cfg=cfg,

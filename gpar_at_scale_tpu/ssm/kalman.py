@@ -63,6 +63,7 @@ def _ensure_batch(y) -> Tuple[jnp.ndarray, bool]:
     return y, False
 
 
+@jax.default_matmul_precision("highest")
 def kalman_filter(lgssm: LGSSM, y) -> FilterResult:
     """Forward filter with batched observation columns."""
     Y, _ = _ensure_batch(y)
@@ -136,6 +137,7 @@ class SmoothResult(NamedTuple):
     Ps: jnp.ndarray
 
 
+@jax.default_matmul_precision("highest")
 def rts_smooth(lgssm: LGSSM, y, filter_result: FilterResult = None) -> SmoothResult:
     """Rauch-Tung-Striebel smoother; batched means share one covariance pass.
 
@@ -176,6 +178,7 @@ def rts_smooth(lgssm: LGSSM, y, filter_result: FilterResult = None) -> SmoothRes
     return SmoothResult(mean=f_mean, var=jnp.maximum(f_var, 0.0), ll=res.ll, ms=ms, Ps=Ps)
 
 
+@jax.default_matmul_precision("highest")
 def posterior_sample(key, lgssm: LGSSM, y, num_samples: int = 1):
     """Joint posterior samples of f = H x given y — TemporalGPs
     ``posterior_rand`` (``src/gp/tmp.jl:167``). Forward-filter

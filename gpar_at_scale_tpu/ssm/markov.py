@@ -201,8 +201,13 @@ def _expm_block(block: SDEBlock, dt):
     return jnp.exp(-block.lam * dt) * out
 
 
+@jax.default_matmul_precision("highest")
 def discretize(sde: SDE, t: jnp.ndarray, noise_var) -> LGSSM:
     """Index the SDE at sorted times t (N,) with observation noise.
+
+    Forced full f32 matmul precision: Q_k = Pinf - A Pinf A^T is a
+    cancellation of nearly-equal matrices for small time gaps; the TPU's
+    default bf16 passes make Q indefinite and NaN the filter downstream.
 
     noise_var: scalar or (N,) per-point variance (supports the infinite-
     noise-at-test-points splice, ``src/gp/gpar_scaled_inference.jl:100-103``).
