@@ -1,0 +1,70 @@
+"""Shared example utilities: headless plotting + env scrubbing + metrics."""
+
+import os
+import sys
+
+
+def setup_jax(cpu: bool = False, x64: bool = True):
+    """Examples default to whatever platform the session provides; pass
+    cpu=True to force the (scrubbed) CPU path.
+
+    If a TPU-tunnel PJRT plugin was already registered at interpreter start
+    (sitecustomize), in-process env scrubbing is too late — re-exec once with
+    a clean environment.
+    """
+    if cpu:
+        if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get("_GPAR_TPU_REEXEC"):
+            env = dict(os.environ)
+            for v in (
+                "PALLAS_AXON_POOL_IPS",
+                "PALLAS_AXON_REMOTE_COMPILE",
+                "AXON_LOOPBACK_RELAY",
+                "AXON_POOL_SVC_OVERRIDE",
+                "PALLAS_AXON_TPU_GEN",
+            ):
+                env.pop(v, None)
+            env["_GPAR_TPU_REEXEC"] = "1"
+            env["JAX_PLATFORMS"] = "cpu"
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        for v in (
+            "PALLAS_AXON_POOL_IPS",
+            "PALLAS_AXON_REMOTE_COMPILE",
+            "AXON_LOOPBACK_RELAY",
+            "PALLAS_AXON_TPU_GEN",
+        ):
+            os.environ.pop(v, None)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+    return jax
+
+
+def get_plt():
+    """matplotlib with Agg backend, or None if unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        return plt
+    except Exception:
+        return None
+
+
+def out_path(name: str) -> str:
+    d = os.path.join(os.path.dirname(__file__), "out")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+def smse(pred, truth):
+    """Standardized mean squared error (normalized by truth variance)."""
+    import numpy as np
+
+    pred = np.asarray(pred)
+    truth = np.asarray(truth)
+    return float(np.mean((pred - truth) ** 2) / np.var(truth))

@@ -1,0 +1,9 @@
+from gpar_at_scale_tpu.inference.optimize import (
+    OptResult,
+    minimize_adam,
+    minimize_lbfgs,
+    multi_start,
+)
+from gpar_at_scale_tpu.inference.hmc import effective_sample_size, hmc
+from gpar_at_scale_tpu.inference.nuts import nuts
+from gpar_at_scale_tpu.inference.smc import smc

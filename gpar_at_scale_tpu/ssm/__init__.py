@@ -1,0 +1,15 @@
+from gpar_at_scale_tpu.ssm.markov import LGSSM, SDE, discretize, lgssm_of, to_sde
+from gpar_at_scale_tpu.ssm.kalman import (
+    decorrelate,
+    kalman_filter,
+    log_det_cov,
+    logpdf,
+    posterior_sample,
+    rts_smooth,
+)
+from gpar_at_scale_tpu.ssm.pkalman import (
+    parallel_decorrelate,
+    parallel_filter,
+    parallel_logpdf,
+    parallel_smooth,
+)

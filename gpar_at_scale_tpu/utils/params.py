@@ -29,7 +29,17 @@ def constrain(log_p):
 
 
 def unconstrain(p):
-    """Inverse of :func:`constrain` (requires p > 1e-3)."""
+    """Inverse of :func:`constrain` (requires p > 1e-3).
+
+    Checked eagerly for concrete inputs: p <= 1e-3 has no preimage under
+    exp(.) + 1e-3 and would otherwise silently produce NaN parameters.
+    """
+    p = jnp.asarray(p)
+    if not isinstance(p, jax.core.Tracer) and bool(jnp.any(p <= _SHIFT)):
+        raise ValueError(
+            f"unconstrain: parameter value {p} must be > {_SHIFT} "
+            "(the positivity transform is exp(x) + 1e-3)"
+        )
     return jnp.log(p - _SHIFT)
 
 
