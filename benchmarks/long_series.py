@@ -1,0 +1,59 @@
+"""Long-series state-space GPAR benchmark (north-star config 4: 1M steps).
+
+Compares the three Kalman whitening engines on one chip:
+  - sequential ``lax.scan`` filter       (O(N) depth)
+  - XLA associative-scan filter          (O(log N) depth, O(log N) HBM passes)
+  - Pallas lane-parallel blocked scan    (2 streaming passes)
+
+Usage: python benchmarks/long_series.py [N] [--no-assoc]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpar_at_scale_tpu.kernels import Matern52
+    from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate
+    from gpar_at_scale_tpu.ssm.kalman import decorrelate
+    from gpar_at_scale_tpu.ssm.markov import lgssm_of
+    from gpar_at_scale_tpu.ssm.pkalman import parallel_decorrelate
+
+    N = int(next((a for a in sys.argv[1:] if not a.startswith("--")), 1_000_000))
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(np.cumsum(rng.uniform(0.5, 1.5, N)) / 1000.0, jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(t) * 3) + 0.3 * rng.normal(size=N), jnp.float32)
+    k = Matern52(lengthscale=1.0, variance=1.0)
+    lg = jax.block_until_ready(jax.jit(lambda t: lgssm_of(k, t, 0.09, jnp.float32))(t))
+    print(f"N={N}  device={jax.devices()[0]}")
+
+    def bench(name, fn, reps):
+        t0 = time.time()
+        out = jax.block_until_ready(fn())
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(reps):
+            out = jax.block_until_ready(fn())
+        el = (time.time() - t0) / reps
+        ll = float(out[0]) if isinstance(out, tuple) else float(out)
+        print(
+            f"{name:>14}: compile {compile_s:6.1f}s  run {el*1e3:9.2f} ms "
+            f"({N/el/1e6:7.2f} M steps/s)  ll={ll:.1f}"
+        )
+        return el
+
+    el_p = bench("pallas", lambda: pallas_decorrelate(lg, y), 5)
+    el_s = bench("seq scan", jax.jit(lambda: decorrelate(lg, y)), 2)
+    print(f"pallas speedup vs seq: {el_s/el_p:.1f}x")
+    if "--no-assoc" not in sys.argv:
+        el_a = bench("assoc scan", jax.jit(lambda: parallel_decorrelate(lg, y)), 2)
+        print(f"pallas speedup vs assoc: {el_a/el_p:.1f}x")
+
+
+if __name__ == "__main__":
+    main()

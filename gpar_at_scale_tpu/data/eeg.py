@@ -51,14 +51,11 @@ class EEGDataset(NamedTuple):
 
 def load_eeg_csv(path: str) -> EEGDataset:
     """Load an EEG CSV with a header row containing the channel names
-    (equivalent of the reference's ``CSV.read``, ``examples/eeg.jl:8-9``)."""
-    import csv
+    (equivalent of the reference's ``CSV.read``, ``examples/eeg.jl:8-9``).
+    Routed through the native multi-threaded parser when built."""
+    from gpar_at_scale_tpu.data.native_io import read_csv
 
-    with open(path, newline="") as f:
-        reader = csv.reader(f)
-        header = [h.strip() for h in next(reader)]
-        rows = [[float(v) for v in row] for row in reader if row]
-    data = np.asarray(rows)
+    data, header = read_csv(path)
     cols = {name: header.index(name) for name in CHAIN_ORDER}
     Y = np.stack([data[:, cols[c]] for c in CHAIN_ORDER], axis=1)
     n = Y.shape[0]

@@ -7,3 +7,4 @@ from gpar_at_scale_tpu.inference.optimize import (
 from gpar_at_scale_tpu.inference.hmc import effective_sample_size, hmc
 from gpar_at_scale_tpu.inference.nuts import nuts
 from gpar_at_scale_tpu.inference.smc import smc
+from gpar_at_scale_tpu.inference.vi import fit_sparse_vi, predict_sparse_vi

@@ -24,3 +24,25 @@ __all__ = [
     "solve_lower",
     "solve_upper",
 ]
+
+from gpar_at_scale_tpu.utils.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from gpar_at_scale_tpu.utils.observability import (
+    MetricsLogger,
+    profiler_trace,
+    stage_timer,
+    throughput,
+)
+
+__all__ += [
+    "latest_step",
+    "restore_checkpoint",
+    "save_checkpoint",
+    "MetricsLogger",
+    "profiler_trace",
+    "stage_timer",
+    "throughput",
+]
