@@ -1,0 +1,56 @@
+"""Fully-Bayesian GPAR conditionals: NUTS posteriors + predictive mixtures."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpar_at_scale_tpu.data.toy import generate_small_dataset
+from gpar_at_scale_tpu.models.bayes import (
+    make_conditional_logpost,
+    make_temporal_logpost,
+    predictive_mixture_scaled,
+    sample_conditional_posterior,
+)
+
+
+def test_temporal_posterior_concentrates(key, rng):
+    t = np.sort(rng.uniform(0, 5, 60))
+    y = np.sin(2 * t) + 0.1 * rng.normal(size=60)
+    logpost = make_temporal_logpost(t, y)
+    res = sample_conditional_posterior(
+        key, logpost, num_chains=2, num_samples=300, num_warmup=200, dim=3, max_depth=6
+    )
+    assert int(res.num_divergent) == 0
+    noise = np.exp(np.asarray(res.samples[..., 2]).ravel()) + 1e-3
+    med = np.median(noise)
+    assert 0.05 < med < 0.2, med
+
+
+def test_dtc_posterior_and_predictive_mixture(key):
+    ds = generate_small_dataset(seed=0)
+    V = ds.y_obs[:, :1]
+    Z = V[::3]
+    logpost = make_conditional_logpost(ds.x, V, ds.y_obs[:, 1], likelihood="dtc", Z=Z)
+    res = sample_conditional_posterior(
+        key, logpost, num_chains=2, num_samples=200, num_warmup=200, max_depth=6
+    )
+    assert float(res.accept_prob) > 0.5
+    noise = np.exp(np.asarray(res.samples[..., 4]).ravel()) + 1e-3
+    assert 0.01 < np.median(noise) < 0.3
+
+    mean, var = predictive_mixture_scaled(
+        key, res.samples, ds.x, V, ds.y_obs[:, 1], Z, ds.x, V, num_theta=8
+    )
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - ds.y_obs[:, 1]) ** 2)))
+    assert rmse < 0.35, rmse
+    assert np.all(np.asarray(var) > 0)
+
+
+def test_exact_likelihood_logpost_finite(key):
+    ds = generate_small_dataset(seed=0)
+    logpost = make_conditional_logpost(
+        ds.x, ds.y_obs[:, :1], ds.y_obs[:, 1], likelihood="exact"
+    )
+    v = logpost(jnp.zeros(5))
+    g = jax.grad(logpost)(jnp.zeros(5))
+    assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
