@@ -25,8 +25,14 @@ def setup_jax(cpu: bool = False, x64: bool = True):
                 env.pop(v, None)
             env["_GPAR_TPU_REEXEC"] = "1"
             env["JAX_PLATFORMS"] = "cpu"
+            flags = env.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
             os.execve(sys.executable, [sys.executable] + sys.argv, env)
         os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
         for v in (
             "PALLAS_AXON_POOL_IPS",
             "PALLAS_AXON_REMOTE_COMPILE",

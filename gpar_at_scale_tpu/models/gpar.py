@@ -37,6 +37,7 @@ from gpar_at_scale_tpu.kernels import Matern52, gpar_kernel, time_kernel_only
 from gpar_at_scale_tpu.ssm.kalman import logpdf as ssm_logpdf
 from gpar_at_scale_tpu.ssm.kalman import rts_smooth
 from gpar_at_scale_tpu.ssm.markov import lgssm_of
+from gpar_at_scale_tpu.ssm.pkalman import parallel_filter
 from gpar_at_scale_tpu.utils.params import (
     init_gp_params,
     init_gpar_params,
@@ -57,6 +58,7 @@ class GPARConfig:
     max_opt_steps: int = 200
     optimizer: str = "lbfgs"  # 'lbfgs' | 'adam'
     dtype: Any = jnp.float64
+    filter_impl: str = "sequential"  # 'sequential' | 'associative' (O(log N) depth)
 
 
 def _minimize(cfg: GPARConfig, fun, x0) -> OptResult:
@@ -234,14 +236,16 @@ def fit_conditional(key, t, X_prev, y, cfg: GPARConfig, init_params=None) -> Fit
         # uu_ridge = s2 mirrors the reference (its FiniteGP u carries the
         # observation noise, src/gp/dtc.jl:35) and keeps chol(K_uu) stable
         # when the out-lengthscale grows and K_uu approaches rank one.
-        return -dtc_objective(out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2)
+        f_impl = parallel_filter if cfg.filter_impl == "associative" else None
+        return -dtc_objective(out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2, filter_fn=f_impl)
 
     res = _minimize(cfg, nlml, x0)
     tl, ts, ol, osig, ns = unpack_gpar(res.params)
     time_k = time_kernel_only(cfg.time_family, tl, ts)
     out_k = cfg.out_family(lengthscale=ol, variance=osig**2)
     lgssm = lgssm_of(time_k, t_s, ns**2, cfg.dtype)
-    qu = compute_q_u(out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2)
+    f_impl = parallel_filter if cfg.filter_impl == "associative" else None
+    qu = compute_q_u(out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2, filter_fn=f_impl)
     return FittedConditional(
         params=res.params,
         cfg=cfg,
