@@ -24,6 +24,15 @@ import time
 import numpy as np
 
 
+def _sync(*arrays):
+    """Force full host materialization — ``block_until_ready`` has been
+    observed to return early on the experimental TPU-tunnel platform."""
+    total = 0.0
+    for a in arrays:
+        total += float(np.asarray(a).ravel()[-1])
+    return total
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -88,7 +97,7 @@ def main():
     # Warmup / compile.
     p, loss = fit(params0)
     mu, var = predict(p)
-    jax.block_until_ready((p, mu, var))
+    _sync(p, mu, var)
     print(f"devices: {jax.devices()}", file=sys.stderr)
     print(f"final nlml: {float(loss):.3f}", file=sys.stderr)
 
@@ -98,7 +107,7 @@ def main():
     for _ in range(reps):
         p, loss = fit(params0)
         mu, var = predict(p)
-    jax.block_until_ready((p, mu, var))
+        _sync(mu, var)
     pipeline_s = (time.perf_counter() - t0) / reps
 
     # Pure predictive throughput (obs/s) — the serving-path metric.
@@ -106,7 +115,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(reps_p):
         mu, var = predict(p)
-    jax.block_until_ready((mu, var))
+        _sync(mu, var)
     pred_s = (time.perf_counter() - t0) / reps_p
     obs_per_s = n_star / pred_s
 

@@ -65,8 +65,31 @@ def _whiten_all(out_kernel: Kernel, V, Z, lgssm: LGSSM, y, mean, uu_ridge, filte
     """One batched Kalman pass whitening [y - mean | K_fu columns].
 
     filter_fn: the Kalman filter implementation — ``kalman_filter``
-    (sequential scan, default) or ``pkalman.parallel_filter``
-    (associative scan, O(log N) depth; shardable over the time axis)."""
+    (sequential scan, default), ``pkalman.parallel_filter`` (associative
+    scan, O(log N) depth; shardable over the time axis), or the string
+    ``"pallas"`` (blocked-scan TPU kernels, f32, fastest; inference-only —
+    no autodiff through the Pallas path yet)."""
+    if filter_fn == "pallas":
+        from gpar_at_scale_tpu.ops.pallas_whiten import pallas_whiten_columns
+
+        V = _as_2d(V)
+        Z = _as_2d(Z)
+        y = jnp.asarray(y)
+        m_ = Z.shape[0]
+        Kfu = out_kernel(V, Z)
+        Kuu = out_kernel(Z, Z)
+        if uu_ridge is not None:
+            Kuu = Kuu + uu_ridge * jnp.eye(m_, dtype=Kuu.dtype)
+        L_uu = cholesky_psd(Kuu)
+        batch = jnp.concatenate([(y - mean)[:, None], Kfu], axis=1)
+        interp = jax.default_backend() != "tpu"  # CPU fallback: interpret mode
+        _, white, logdet_noise = pallas_whiten_columns(lgssm, batch, interpret=interp)
+        white = white.astype(Kfu.dtype)
+        alpha = white[:, 0]
+        A = solve_lower(L_uu, white[:, 1:].T)
+        return DTCIntermediates(
+            alpha=alpha, A=A, L_uu=L_uu, logdet_noise=logdet_noise.astype(Kfu.dtype)
+        )
     if filter_fn is None:
         filter_fn = kalman_filter
     V = _as_2d(V)
