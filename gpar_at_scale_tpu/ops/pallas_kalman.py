@@ -234,7 +234,7 @@ def _phase1_kernel(d, A_ref, Q_ref, R_ref, Y_ref, M_ref, eA, eb, eC, eeta, eJ, s
 # ---------------------------------------------------------------------------
 
 
-def _phase3_kernel(d, A_ref, Q_ref, R_ref, Y_ref, M_ref, m0_ref, P0_ref, alpha_out, logs_out, K_out, ll_ref, ls_ref, s_m, s_P):
+def _phase3_kernel(d, A_ref, Q_ref, R_ref, Y_ref, M_ref, m0_ref, P0_ref, alpha_out, logs_out, K_out, m_out, P_out, ll_ref, ls_ref, s_m, s_P):
     t = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -278,6 +278,9 @@ def _phase3_kernel(d, A_ref, Q_ref, R_ref, Y_ref, M_ref, m0_ref, P0_ref, alpha_o
     logs_out[0] = jnp.where(msk, logS, 0.0)
     for i in range(d):
         K_out[0, i] = K[i]
+        m_out[0, i] = jnp.where(msk, m_new[i], m[i])
+        for j in range(d):
+            P_out[0, i * d + j] = jnp.where(msk, P_new[(i, j)], P[(i, j)])
     ll_ref[...] += jnp.where(msk, -0.5 * (_LOG_2PI + logS + alpha * alpha), 0.0)
     ls_ref[...] += jnp.where(msk, logS, 0.0)
 
@@ -309,14 +312,22 @@ def _flatten_mat(x):
     return x.reshape(T, d * d, s, l)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "return_gains"))
-def pallas_decorrelate(lgssm: LGSSM, y, interpret: bool = False, return_gains: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "return_gains", "return_moments"))
+def pallas_decorrelate(
+    lgssm: LGSSM,
+    y,
+    interpret: bool = False,
+    return_gains: bool = False,
+    return_moments: bool = False,
+):
     """Whitening pass (ll, alpha, sum log S) via the blocked-scan kernel.
 
     f32, single observation column.  Requires d <= 3 (Matern 1/2, 3/2, 5/2).
     With ``return_gains=True`` additionally returns the per-step innovation
     variances S (N,) and Kalman gains K (N, d) — consumed by the batched
-    column-whitening kernel (``ops/pallas_whiten.py``).
+    column-whitening kernel (``ops/pallas_whiten.py``).  With
+    ``return_moments=True`` returns the filtered moments m (N, d), P (N, d, d)
+    — consumed by the blocked-scan smoother (``ops/pallas_smoother.py``).
     """
     d = lgssm.dim
     if d > 3:
@@ -397,16 +408,17 @@ def pallas_decorrelate(lgssm: LGSSM, y, interpret: bool = False, return_gains: b
     P0_l = P0.transpose(1, 2, 0).reshape(1, d, d, LANES).reshape(1, d * d, SUB, LANE)
 
     # ---- phase 3 ----
-    def p3(A_ref, Q_ref, R_ref, Y_ref, M_ref, m0_ref, P0_ref, alpha_out, logs_out, K_out, ll_ref, ls_ref, *scratch):
+    def p3(A_ref, Q_ref, R_ref, Y_ref, M_ref, m0_ref, P0_ref, alpha_out, logs_out, K_out, m_out, P_out, ll_ref, ls_ref, *scratch):
         _phase3_kernel(
-            d, A_ref, Q_ref, R_ref, Y_ref, M_ref, m0_ref, P0_ref, alpha_out, logs_out, K_out, ll_ref, ls_ref, *scratch
+            d, A_ref, Q_ref, R_ref, Y_ref, M_ref, m0_ref, P0_ref, alpha_out, logs_out, K_out, m_out, P_out, ll_ref, ls_ref, *scratch
         )
 
     const_vec = pl.BlockSpec((1, d, SUB, LANE), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM)
     const_mat = pl.BlockSpec((1, d * d, SUB, LANE), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM)
 
     kvec_spec = pl.BlockSpec((1, d, SUB, LANE), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM)
-    alpha_l, logs_l, K_l, ll_l, ls_l = pl.pallas_call(
+    kmat_spec = pl.BlockSpec((1, d * d, SUB, LANE), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM)
+    alpha_l, logs_l, K_l, m_l, P_l, ll_l, ls_l = pl.pallas_call(
         p3,
         grid=(T,),
         in_specs=[mat_spec, mat_spec, vec_spec, vec_spec, vec_spec, const_vec, const_mat],
@@ -414,6 +426,8 @@ def pallas_decorrelate(lgssm: LGSSM, y, interpret: bool = False, return_gains: b
             vec_spec,
             vec_spec,
             kvec_spec,
+            kvec_spec,
+            kmat_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
@@ -421,6 +435,8 @@ def pallas_decorrelate(lgssm: LGSSM, y, interpret: bool = False, return_gains: b
             jax.ShapeDtypeStruct((T, SUB, LANE), f32),
             jax.ShapeDtypeStruct((T, SUB, LANE), f32),
             jax.ShapeDtypeStruct((T, d, SUB, LANE), f32),
+            jax.ShapeDtypeStruct((T, d, SUB, LANE), f32),
+            jax.ShapeDtypeStruct((T, d * d, SUB, LANE), f32),
             jax.ShapeDtypeStruct((SUB, LANE), f32),
             jax.ShapeDtypeStruct((SUB, LANE), f32),
         ),
@@ -435,6 +451,14 @@ def pallas_decorrelate(lgssm: LGSSM, y, interpret: bool = False, return_gains: b
     alpha = alpha_l.reshape(T, LANES).transpose(1, 0).reshape(LANES * T)[:n]
     ll = jnp.sum(ll_l)
     logdet = jnp.sum(ls_l)
+    if return_moments:
+        m = m_l.reshape(T, d, LANES).transpose(2, 0, 1).reshape(LANES * T, d)[:n]
+        P = (
+            P_l.reshape(T, d * d, LANES)
+            .transpose(2, 0, 1)
+            .reshape(LANES * T, d, d)[:n]
+        )
+        return ll, alpha, logdet, m, P
     if not return_gains:
         return ll, alpha, logdet
     S = jnp.exp(logs_l.reshape(T, LANES).transpose(1, 0).reshape(LANES * T)[:n])

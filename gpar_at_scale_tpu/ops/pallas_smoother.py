@@ -1,0 +1,320 @@
+"""Pallas TPU kernel: lane-parallel blocked-scan RTS smoother.
+
+Backward companion of ``pallas_kalman.pallas_decorrelate`` — the same
+two-level-scan structure run in reverse over per-step *smoothing elements*
+
+    e_k = (E_k, g_k, L_k),   E_k = P_k A_{k+1}^T Pp_{k+1}^-1,
+    g_k = m_k - E_k mp_{k+1},  L_k = P_k - E_k Pp_{k+1} E_k^T
+    (terminal step: (0, m_N, P_N);  padded step: identity (I, 0, 0))
+
+with the associative combine (earlier o later) = (E_e E_l, g_e + E_e g_l,
+L_e + E_e L_l E_e^T), so the smoothed moments at step k are the combined
+suffix element's (g, L).
+
+  phase F   -- forward blocked-scan filter emitting filtered moments (m, P)
+  phase R1  -- per-block suffix reduction of smoothing elements (reversed
+               grid, 1024 blocks in the VPU lanes)
+  phase R2  -- reverse exclusive combine over the 1024 block elements (XLA)
+  phase R3  -- per-block backward replay emitting f-space smoothed
+               mean/variance per step
+
+Single observation column, f32, d <= 3.  Returns the ``rts_smooth``
+(mean, var, ll) contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpar_at_scale_tpu.ops.pallas_kalman import (
+    LANE,
+    LANES,
+    SUB,
+    _flatten_mat,
+    _to_lanes,
+    pallas_decorrelate,
+)
+from gpar_at_scale_tpu.ssm.markov import LGSSM
+
+
+def _batched_inv(Z, d):
+    """Adjugate inverse of a batch of small SPD matrices, elementwise."""
+    if d == 1:
+        return 1.0 / Z
+    if d == 2:
+        det = Z[:, 0, 0] * Z[:, 1, 1] - Z[:, 0, 1] * Z[:, 1, 0]
+        inv = jnp.stack(
+            [
+                jnp.stack([Z[:, 1, 1], -Z[:, 0, 1]], axis=-1),
+                jnp.stack([-Z[:, 1, 0], Z[:, 0, 0]], axis=-1),
+            ],
+            axis=-2,
+        )
+        return inv / det[:, None, None]
+    c00 = Z[:, 1, 1] * Z[:, 2, 2] - Z[:, 1, 2] * Z[:, 2, 1]
+    c01 = Z[:, 1, 2] * Z[:, 2, 0] - Z[:, 1, 0] * Z[:, 2, 2]
+    c02 = Z[:, 1, 0] * Z[:, 2, 1] - Z[:, 1, 1] * Z[:, 2, 0]
+    det = Z[:, 0, 0] * c00 + Z[:, 0, 1] * c01 + Z[:, 0, 2] * c02
+    c10 = Z[:, 0, 2] * Z[:, 2, 1] - Z[:, 0, 1] * Z[:, 2, 2]
+    c11 = Z[:, 0, 0] * Z[:, 2, 2] - Z[:, 0, 2] * Z[:, 2, 0]
+    c12 = Z[:, 0, 1] * Z[:, 2, 0] - Z[:, 0, 0] * Z[:, 2, 1]
+    c20 = Z[:, 0, 1] * Z[:, 1, 2] - Z[:, 0, 2] * Z[:, 1, 1]
+    c21 = Z[:, 0, 2] * Z[:, 1, 0] - Z[:, 0, 0] * Z[:, 1, 2]
+    c22 = Z[:, 0, 0] * Z[:, 1, 1] - Z[:, 0, 1] * Z[:, 1, 0]
+    rows = [
+        jnp.stack([c00, c10, c20], axis=-1),
+        jnp.stack([c01, c11, c21], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2) / det[:, None, None]
+
+
+def _unlane(x_l, T):
+    """(T, SUB, LANE) -> (LANES*T,) linear series order (block-major)."""
+    return x_l.reshape(T, LANES).transpose(1, 0).reshape(LANES * T)
+
+
+def _unlane_vec(x_l, T, d):
+    """(T, d, SUB, LANE) -> (LANES*T, d)."""
+    return x_l.reshape(T, d, LANES).transpose(2, 0, 1).reshape(LANES * T, d)
+
+
+def _rev_spec(T, comps):
+    """BlockSpec streaming step (T-1-t) at grid step t."""
+    return pl.BlockSpec(
+        (1, comps, SUB, LANE), lambda t: (T - 1 - t, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _read(ref, d):
+    return {(i, j): ref[0, i * d + j] for i in range(d) for j in range(d)}
+
+
+def _r1_kernel(d, E_ref, g_ref, L_ref, oE, og, oL, sE, sg, sL):
+    """Reversed grid: combine block-local suffix (in scratch) with the new
+    earlier element: new = e_t o suffix."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _init():
+        for i in range(d):
+            sg[i] = jnp.zeros((SUB, LANE), jnp.float32)
+            for j in range(d):
+                sE[i * d + j] = (
+                    jnp.ones((SUB, LANE), jnp.float32) if i == j else jnp.zeros((SUB, LANE), jnp.float32)
+                )
+                sL[i * d + j] = jnp.zeros((SUB, LANE), jnp.float32)
+
+    E_e = _read(E_ref, d)
+    g_e = {i: g_ref[0, i] for i in range(d)}
+    L_e = _read(L_ref, d)
+    E_s = {(i, j): sE[i * d + j] for i in range(d) for j in range(d)}
+    g_s = {i: sg[i] for i in range(d)}
+    L_s = {(i, j): sL[i * d + j] for i in range(d) for j in range(d)}
+
+    # new = e o suffix
+    E_n = {
+        (i, j): sum(E_e[(i, k)] * E_s[(k, j)] for k in range(d)) for i in range(d) for j in range(d)
+    }
+    g_n = {i: g_e[i] + sum(E_e[(i, k)] * g_s[k] for k in range(d)) for i in range(d)}
+    EL = {
+        (i, j): sum(E_e[(i, k)] * L_s[(k, j)] for k in range(d)) for i in range(d) for j in range(d)
+    }
+    L_n = {
+        (i, j): L_e[(i, j)] + sum(EL[(i, k)] * E_e[(j, k)] for k in range(d))
+        for i in range(d)
+        for j in range(d)
+    }
+
+    for i in range(d):
+        sg[i] = g_n[i]
+        for j in range(d):
+            sE[i * d + j] = E_n[(i, j)]
+            sL[i * d + j] = L_n[(i, j)]
+
+    @pl.when(t == T - 1)
+    def _emit():
+        for i in range(d):
+            og[i] = sg[i]
+            for j in range(d):
+                oE[i * d + j] = sE[i * d + j]
+                oL[i * d + j] = sL[i * d + j]
+
+
+def _r3_kernel(d, E_ref, g_ref, L_ref, M_ref, g0_ref, L0_ref, mean_out, var_out, s_m, s_P):
+    """Reversed grid: carry smoothed (ms, Ps); emit f-space marginals."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        for i in range(d):
+            s_m[i] = g0_ref[0, i]
+            for j in range(d):
+                s_P[i * d + j] = L0_ref[0, i * d + j]
+
+    E = _read(E_ref, d)
+    g = {i: g_ref[0, i] for i in range(d)}
+    L = _read(L_ref, d)
+    msk = M_ref[0] > 0.5
+
+    ms = {i: s_m[i] for i in range(d)}
+    Ps = {(i, j): s_P[i * d + j] for i in range(d) for j in range(d)}
+
+    ms_n = {i: g[i] + sum(E[(i, k)] * ms[k] for k in range(d)) for i in range(d)}
+    EP = {
+        (i, j): sum(E[(i, k)] * Ps[(k, j)] for k in range(d)) for i in range(d) for j in range(d)
+    }
+    Ps_n = {
+        (i, j): L[(i, j)] + sum(EP[(i, k)] * E[(j, k)] for k in range(d))
+        for i in range(d)
+        for j in range(d)
+    }
+
+    mean_out[0] = jnp.where(msk, ms_n[0], 0.0)
+    var_out[0] = jnp.where(msk, jnp.maximum(Ps_n[(0, 0)], 0.0), 0.0)
+
+    for i in range(d):
+        s_m[i] = ms_n[i]
+        for j in range(d):
+            s_P[i * d + j] = Ps_n[(i, j)]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False):
+    """Blocked-scan RTS smoother: (f_mean (N,), f_var (N,), ll scalar)."""
+    d = lgssm.dim
+    n = lgssm.num_steps
+    f32 = jnp.float32
+    T = -(-n // LANES)
+    Np = LANES * T
+
+    # ---- phase F: forward filter with moments ---------------------------
+    ll, _alpha, _logdet, m_lin, P_lin = pallas_decorrelate(
+        lgssm, y, interpret=interpret, return_moments=True
+    )  # m (N, d), P (N, d, d)
+
+    A = lgssm.A.astype(f32)
+    Q = lgssm.Q.astype(f32)
+
+    # ---- build smoothing elements in linear order (XLA, elementwise) ----
+    pad = Np - n
+    mask = jnp.concatenate([jnp.ones((n,), f32), jnp.zeros((pad,), f32)])
+    mask_next = jnp.concatenate([mask[1:], jnp.zeros((1,), f32)])
+    A_next = jnp.concatenate([A[1:], jnp.zeros((1, d, d), f32)])
+    Q_next = jnp.concatenate([Q[1:], jnp.eye(d, dtype=f32)[None]])
+    m = jnp.concatenate([m_lin.astype(f32), jnp.zeros((pad, d), f32)])
+    P = jnp.concatenate([P_lin.astype(f32), jnp.zeros((pad, d, d), f32)])
+    A_next = jnp.concatenate([A_next, jnp.zeros((pad, d, d), f32)])
+    Q_next = jnp.concatenate([Q_next, jnp.tile(jnp.eye(d, dtype=f32)[None], (pad, 1, 1))])
+
+    with jax.default_matmul_precision("highest"):
+        mp_next = jnp.einsum("nij,nj->ni", A_next, m)
+        Pp_next = jnp.einsum("nij,njk,nlk->nil", A_next, P, A_next) + Q_next
+        PAt = jnp.einsum("nij,nkj->nik", P, A_next)  # P_k A_{k+1}^T
+        # E = PAt @ Pp_next^-1 via the closed-form adjugate inverse —
+        # batched jnp.linalg.solve over millions of 3x3 systems is
+        # pathologically slow on TPU (LU path), the adjugate is elementwise.
+        E = jnp.einsum("nij,njk->nik", PAt, _batched_inv(Pp_next, d))
+        g = m - jnp.einsum("nij,nj->ni", E, mp_next)
+        L = P - jnp.einsum("nij,njk,nlk->nil", E, Pp_next, E)
+
+    eye = jnp.eye(d, dtype=f32)[None]
+    is_pad = mask[:, None, None] < 0.5
+    is_term = jnp.logical_and(mask[:, None, None] > 0.5, mask_next[:, None, None] < 0.5)
+    E = jnp.where(is_pad, eye, jnp.where(is_term, jnp.zeros_like(E), E))
+    L = jnp.where(is_pad, jnp.zeros_like(L), jnp.where(is_term, P, L))
+    g = jnp.where(
+        is_pad[:, :, 0], jnp.zeros_like(g), jnp.where(is_term[:, :, 0], m, g)
+    )
+
+    # ---- lane layouts ----------------------------------------------------
+    E_l = _flatten_mat(_to_lanes(E, T))
+    g_l = _to_lanes(g, T)  # (T, d, 8, 128)
+    L_l = _flatten_mat(_to_lanes(L, T))
+    M_l = _to_lanes(mask, T)
+
+    mat_rev = _rev_spec(T, d * d)
+    vec_rev = _rev_spec(T, d)
+    out_mat = jax.ShapeDtypeStruct((d * d, SUB, LANE), f32)
+    out_vec = jax.ShapeDtypeStruct((d, SUB, LANE), f32)
+
+    # ---- phase R1: per-block suffix elements ----------------------------
+    r1 = functools.partial(_r1_kernel, d)
+    bE, bg, bL = pl.pallas_call(
+        r1,
+        grid=(T,),
+        in_specs=[mat_rev, vec_rev, mat_rev],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(out_mat, out_vec, out_mat),
+        scratch_shapes=[
+            pltpu.VMEM((d * d, SUB, LANE), f32),
+            pltpu.VMEM((d, SUB, LANE), f32),
+            pltpu.VMEM((d * d, SUB, LANE), f32),
+        ],
+        interpret=interpret,
+    )(E_l, g_l, L_l)
+
+    # ---- phase R2: reverse exclusive combine over blocks (XLA) ----------
+    def unlane_mat(x):
+        return x.reshape(d, d, LANES).transpose(2, 0, 1)
+
+    def unlane_v(x):
+        return x.reshape(d, LANES).transpose(1, 0)
+
+    Eb, gb, Lb = unlane_mat(bE), unlane_v(bg), unlane_mat(bL)
+
+    def comb(later, earlier):
+        E_l_, g_l_, L_l_ = later
+        E_e, g_e, L_e = earlier
+        with jax.default_matmul_precision("highest"):
+            E_n = E_e @ E_l_
+            g_n = g_e + jnp.einsum("...ij,...j->...i", E_e, g_l_)
+            L_n = L_e + E_e @ L_l_ @ jnp.swapaxes(E_e, -1, -2)
+        return E_n, g_n, L_n
+
+    inc = jax.lax.associative_scan(comb, (Eb, gb, Lb), axis=0, reverse=True)
+    # exclusive suffix for block b = inclusive suffix of block b+1
+    _, g_inc, L_inc = inc
+    g0 = jnp.concatenate([g_inc[1:], jnp.zeros((1, d), f32)], axis=0)
+    L0 = jnp.concatenate([L_inc[1:], jnp.zeros((1, d, d), f32)], axis=0)
+
+    g0_l = g0.transpose(1, 0).reshape(1, d, SUB, LANE)
+    L0_l = L0.transpose(1, 2, 0).reshape(1, d * d, SUB, LANE)
+
+    # ---- phase R3: backward replay --------------------------------------
+    const_vec = pl.BlockSpec((1, d, SUB, LANE), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+    const_mat = pl.BlockSpec(
+        (1, d * d, SUB, LANE), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    scal_rev = pl.BlockSpec((1, SUB, LANE), lambda t: (T - 1 - t, 0, 0), memory_space=pltpu.VMEM)
+
+    r3 = functools.partial(_r3_kernel, d)
+    mean_l, var_l = pl.pallas_call(
+        r3,
+        grid=(T,),
+        in_specs=[mat_rev, vec_rev, mat_rev, scal_rev, const_vec, const_mat],
+        out_specs=(scal_rev, scal_rev),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, SUB, LANE), f32),
+            jax.ShapeDtypeStruct((T, SUB, LANE), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, SUB, LANE), f32),
+            pltpu.VMEM((d * d, SUB, LANE), f32),
+        ],
+        interpret=interpret,
+    )(E_l, g_l, L_l, M_l, g0_l, L0_l)
+
+    f_mean = _unlane(mean_l, T)[:n]
+    f_var = _unlane(var_l, T)[:n]
+    return f_mean, f_var, ll

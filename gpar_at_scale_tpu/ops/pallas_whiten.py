@@ -33,10 +33,10 @@ from gpar_at_scale_tpu.ssm.markov import LGSSM
 _LOG_2PI = 1.8378770664093453
 SUB, LANE = 8, 128
 COLS = SUB * LANE  # columns per tile
-CHUNK = 256  # time steps per grid iteration
+CHUNK = 256  # time steps per grid iteration (compiled path)
 
 
-def _whiten_kernel(d, gains_ref, y_ref, alpha_ref, ll_ref, m_scratch, ll_scratch):
+def _whiten_kernel(d, CHUNK, unroll, gains_ref, y_ref, alpha_ref, ll_ref, m_scratch, ll_scratch):
     """Grid (col_tiles, n_chunks); chunks innermost so the per-column state
     in scratch carries across chunks of the same column tile."""
     c = pl.program_id(1)
@@ -49,19 +49,19 @@ def _whiten_kernel(d, gains_ref, y_ref, alpha_ref, ll_ref, m_scratch, ll_scratch
         ll_scratch[...] = jnp.zeros((SUB, LANE), jnp.float32)
 
     def step(t, carry):
+        # gains layout: [S, logS, mask, K(0..d-1), A0(0..d-1), M(d*d)]
         m = list(carry[:d])
         ll = carry[d]
-        g = gains_ref[0, pl.ds(t, 1), :]  # (1, G) row of per-step gains
-        # layout: [S, logS, mask, K(0..d-1), A0(0..d-1), M(d*d)]
-        S = g[0, 0]
-        logS = g[0, 1]
-        mask = g[0, 2]
+        S = gains_ref[0, t, 0]
+        logS = gains_ref[0, t, 1]
+        mask = gains_ref[0, t, 2]
         y = y_ref[0, 0, t]  # (8, 128) columns tile
 
-        v = y - sum(g[0, 3 + d + j] * m[j] for j in range(d))  # y - A0 . m
+        v = y - sum(gains_ref[0, t, 3 + d + j] * m[j] for j in range(d))  # y - A0 . m
         alpha = v * jax.lax.rsqrt(S) * mask
         m_new = [
-            sum(g[0, 3 + 2 * d + i * d + j] * m[j] for j in range(d)) + g[0, 3 + i] * y
+            sum(gains_ref[0, t, 3 + 2 * d + i * d + j] * m[j] for j in range(d))
+            + gains_ref[0, t, 3 + i] * y
             for i in range(d)
         ]
         m = [jnp.where(mask > 0.5, m_new[i], m[i]) for i in range(d)]
@@ -69,11 +69,19 @@ def _whiten_kernel(d, gains_ref, y_ref, alpha_ref, ll_ref, m_scratch, ll_scratch
         alpha_ref[0, 0, t] = alpha
         return tuple(m) + (ll,)
 
-    init = tuple(m_scratch[i] for i in range(d)) + (ll_scratch[...],)
-    out = jax.lax.fori_loop(0, CHUNK, step, init)
+    carry = tuple(m_scratch[i] for i in range(d)) + (ll_scratch[...],)
+    if unroll:
+        # Statically unrolled for the compiled path: static indices keep
+        # Mosaic from inserting per-step relayouts.
+        for t in range(CHUNK):
+            carry = step(t, carry)
+    else:
+        # Interpret mode walks a fori_loop (the unrolled body would execute
+        # tens of thousands of eager ops per grid step).
+        carry = jax.lax.fori_loop(0, CHUNK, step, carry)
     for i in range(d):
-        m_scratch[i] = out[i]
-    ll_scratch[...] = out[d]
+        m_scratch[i] = carry[i]
+    ll_scratch[...] = carry[d]
 
     @pl.when(c == n_chunks - 1)
     def _emit():
@@ -94,6 +102,7 @@ def pallas_whiten_columns(lgssm: LGSSM, Y, interpret: bool = False):
         Y = Y[:, None]
     B = Y.shape[1]
     f32 = jnp.float32
+    CHUNK = globals()["CHUNK"]
 
     # --- per-step gains from the lane-parallel filter (y = 0) -------------
     _, _, logdet, S, K = pallas_decorrelate(
@@ -133,13 +142,16 @@ def pallas_whiten_columns(lgssm: LGSSM, Y, interpret: bool = False):
         .reshape(col_tiles, n_chunks, CHUNK, SUB, LANE)
     )
 
-    gain_spec = pl.BlockSpec((1, CHUNK, G), lambda b, c: (c, 0, 0), memory_space=pltpu.VMEM)
+    # Gains live in SMEM: the kernel reads them as scalars every step, and
+    # scalar loads from VMEM cost tens of cycles each (measured ~100x
+    # slowdown); SMEM is the scalar memory.
+    gain_spec = pl.BlockSpec((1, CHUNK, G), lambda b, c: (c, 0, 0), memory_space=pltpu.SMEM)
     y_spec = pl.BlockSpec(
         (1, 1, CHUNK, SUB, LANE), lambda b, c: (b, c, 0, 0, 0), memory_space=pltpu.VMEM
     )
     ll_spec = pl.BlockSpec((1, SUB, LANE), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_whiten_kernel, d)
+    kernel = functools.partial(_whiten_kernel, d, CHUNK, not interpret)
     alpha_l, ll_l = pl.pallas_call(
         kernel,
         grid=(col_tiles, n_chunks),

@@ -84,3 +84,21 @@ def test_fixed_keys_are_bitwise_deterministic():
     r1 = nuts(jax.random.PRNGKey(5), lp, jnp.ones(2), num_samples=50, num_warmup=50, max_depth=4)
     r2 = nuts(jax.random.PRNGKey(5), lp, jnp.ones(2), num_samples=50, num_warmup=50, max_depth=4)
     np.testing.assert_array_equal(np.asarray(r1.samples), np.asarray(r2.samples))
+
+
+def test_run_with_checkpointing_resumes(tmp_path):
+    from gpar_at_scale_tpu.utils.resilience import run_with_checkpointing
+
+    d = str(tmp_path / "ck")
+
+    def step_fn(state, step):
+        return {"x": state["x"] + 1.0}
+
+    init = {"x": jnp.asarray(0.0)}
+    # first run: interrupted after 7 steps (checkpoint every 3 -> last at 6)
+    state, ran = run_with_checkpointing(step_fn, init, 7, d, checkpoint_every=3)
+    assert float(state["x"]) == 7.0
+    # "crash" and resume to 12: should restart from step 7 (final ckpt)
+    state2, ran2 = run_with_checkpointing(step_fn, init, 12, d, checkpoint_every=3)
+    assert float(state2["x"]) == 12.0
+    assert ran2 == 5  # only the remaining steps were executed
