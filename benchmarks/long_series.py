@@ -17,6 +17,7 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from gpar_at_scale_tpu.kernels import Matern52
     from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate
@@ -33,22 +34,38 @@ def main():
     print(f"N={N}  device={jax.devices()[0]}")
 
     def bench(name, fn, reps):
+        """Amortized: reps calls inside ONE jit (a lax.scan), so per-dispatch
+        overhead (tens of ms through a TPU tunnel) is paid once."""
+
+        @jax.jit
+        def rep():
+            def body(c, _):
+                out = fn()
+                first = out[0] if isinstance(out, tuple) else out
+                return c + jnp.sum(first), None
+
+            tot, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+            return tot
+
         t0 = time.time()
-        out = jax.block_until_ready(fn())
+        float(np.asarray(rep()))
         compile_s = time.time() - t0
         t0 = time.time()
-        for _ in range(reps):
-            out = jax.block_until_ready(fn())
+        float(np.asarray(rep()))
         el = (time.time() - t0) / reps
-        ll = float(out[0]) if isinstance(out, tuple) else float(out)
+        out = fn()
+        ll = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
         print(
             f"{name:>14}: compile {compile_s:6.1f}s  run {el*1e3:9.2f} ms "
             f"({N/el/1e6:7.2f} M steps/s)  ll={ll:.1f}"
         )
         return el
 
-    el_p = bench("pallas", lambda: pallas_decorrelate(lg, y), 5)
-    el_s = bench("seq scan", jax.jit(lambda: decorrelate(lg, y)), 2)
+    from gpar_at_scale_tpu.ops.pallas_smoother import pallas_smooth
+
+    el_p = bench("pallas filter", lambda: pallas_decorrelate(lg, y), 10)
+    bench("pallas smooth", lambda: pallas_smooth(lg, y), 5)
+    el_s = bench("seq scan", lambda: decorrelate(lg, y), 2)
     print(f"pallas speedup vs seq: {el_s/el_p:.1f}x")
     if "--no-assoc" not in sys.argv:
         el_a = bench("assoc scan", jax.jit(lambda: parallel_decorrelate(lg, y)), 2)

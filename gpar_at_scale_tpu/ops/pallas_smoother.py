@@ -213,16 +213,42 @@ def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False):
     A_next = jnp.concatenate([A_next, jnp.zeros((pad, d, d), f32)])
     Q_next = jnp.concatenate([Q_next, jnp.tile(jnp.eye(d, dtype=f32)[None], (pad, 1, 1))])
 
-    with jax.default_matmul_precision("highest"):
-        mp_next = jnp.einsum("nij,nj->ni", A_next, m)
-        Pp_next = jnp.einsum("nij,njk,nlk->nil", A_next, P, A_next) + Q_next
-        PAt = jnp.einsum("nij,nkj->nik", P, A_next)  # P_k A_{k+1}^T
-        # E = PAt @ Pp_next^-1 via the closed-form adjugate inverse —
-        # batched jnp.linalg.solve over millions of 3x3 systems is
-        # pathologically slow on TPU (LU path), the adjugate is elementwise.
-        E = jnp.einsum("nij,njk->nik", PAt, _batched_inv(Pp_next, d))
-        g = m - jnp.einsum("nij,nj->ni", E, mp_next)
-        L = P - jnp.einsum("nij,njk,nlk->nil", E, Pp_next, E)
+    # All element algebra fully unrolled into (N,)-elementwise ops: batched
+    # d x d einsums/matmuls pad each tiny operand onto MXU tiles (and
+    # batched linalg.solve takes the LU path) — both pathological on TPU.
+    def bmm(X, Y):  # (N,d,d) @ (N,d,d)
+        return jnp.stack(
+            [
+                jnp.stack(
+                    [sum(X[:, i, k] * Y[:, k, j] for k in range(d)) for j in range(d)], axis=-1
+                )
+                for i in range(d)
+            ],
+            axis=-2,
+        )
+
+    def bmmT(X, Y):  # (N,d,d) @ (N,d,d)^T
+        return jnp.stack(
+            [
+                jnp.stack(
+                    [sum(X[:, i, k] * Y[:, j, k] for k in range(d)) for j in range(d)], axis=-1
+                )
+                for i in range(d)
+            ],
+            axis=-2,
+        )
+
+    def bmv(X, v):  # (N,d,d) @ (N,d)
+        return jnp.stack(
+            [sum(X[:, i, k] * v[:, k] for k in range(d)) for i in range(d)], axis=-1
+        )
+
+    mp_next = bmv(A_next, m)
+    Pp_next = bmmT(bmm(A_next, P), A_next) + Q_next
+    PAt = bmmT(P, A_next)  # P_k A_{k+1}^T
+    E = bmm(PAt, _batched_inv(Pp_next, d))
+    g = m - bmv(E, mp_next)
+    L = P - bmmT(bmm(E, Pp_next), E)
 
     eye = jnp.eye(d, dtype=f32)[None]
     is_pad = mask[:, None, None] < 0.5
