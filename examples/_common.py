@@ -40,7 +40,8 @@ def setup_jax(cpu: bool = False, x64: bool = True):
             "PALLAS_AXON_TPU_GEN",
         ):
             os.environ.pop(v, None)
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    cache = "/tmp/jax_cache_cpu" if os.environ.get("JAX_PLATFORMS") == "cpu" else "/tmp/jax_cache_tpu"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
     import jax
 
     if x64:

@@ -22,9 +22,8 @@ unpack_gp / unpack_gpar / parse_*    -> gpar_at_scale_tpu.utils.*
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 from gpar_at_scale_tpu.kernels import Matern52
@@ -123,8 +122,6 @@ def get_optim_scaled_gpar_params(
     """Optimize the 5 shared hyperparameters of the scaled conditional via
     the DTC bound — ``get_optim_scaled_gpar_params`` (``src/gp/dtc.jl:11-77``).
     Returns (time_l, time_sigma, out_l, out_sigma, noise_sigma)."""
-    import numpy as np
-
     from gpar_at_scale_tpu.gp.dtc import dtc_objective
     from gpar_at_scale_tpu.inference.optimize import minimize_lbfgs
     from gpar_at_scale_tpu.kernels import time_kernel_only
@@ -179,8 +176,6 @@ def get_gpar_scaled_predictions(
     ``get_gpar_scaled_predictions`` (``src/gp/gpar_scaled_inference.jl:20-136``).
     ``num_samples=0`` uses the exact analytic predictive (reference used 100
     MC samples); returns (means, stds) at the inference locations."""
-    import numpy as np
-
     from gpar_at_scale_tpu.gp.dtc import compute_q_u, predict_scaled
     from gpar_at_scale_tpu.kernels import time_kernel_only
     from gpar_at_scale_tpu.ssm.markov import lgssm_of

@@ -13,7 +13,7 @@ to reproduce the reference's generated data exactly when matching moments.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Sequence
+from typing import Callable, NamedTuple
 
 import numpy as np
 

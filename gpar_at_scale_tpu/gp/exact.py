@@ -12,9 +12,6 @@ for gradient-based type-II ML replacing the reference's Nelder-Mead.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from gpar_at_scale_tpu.inference.hmc import (
-    DAState,
     da_init,
     da_update,
     welford_init,

@@ -10,7 +10,7 @@ variational parameters beyond Z (that is the point of the collapsed bound).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

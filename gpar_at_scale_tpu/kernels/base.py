@@ -16,7 +16,7 @@ viewed as N column vectors, ``src/util.jl:16-31`` — is just row-major here).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -13,7 +13,7 @@ Chains vmap on one chip and shard over the mesh "chain" axis.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

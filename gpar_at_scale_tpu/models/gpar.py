@@ -24,7 +24,7 @@ output chain (``GPAR_examples/toy_example.jl:118-135``,
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax

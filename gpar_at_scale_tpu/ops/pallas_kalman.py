@@ -39,7 +39,6 @@ Returns the same (ll, alpha, sum log S) contract as
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ import os
 from typing import Optional, Sequence
 
 import jax
-import numpy as np
 
 
 def initialize_distributed(

@@ -9,7 +9,6 @@ only at boundaries; SURVEY.md §5.7 build mapping).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax

@@ -46,3 +46,7 @@ __all__ += [
     "stage_timer",
     "throughput",
 ]
+
+from gpar_at_scale_tpu.utils.resilience import run_with_checkpointing
+
+__all__ += ["run_with_checkpointing"]

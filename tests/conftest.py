@@ -37,8 +37,8 @@ jax.config.update("jax_enable_x64", True)
 
 # XLA:CPU compiles are slow in this sandbox (~1.4 s per executable); the
 # persistent cache makes re-runs cheap.
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+os.makedirs("/tmp/jax_cache_cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
