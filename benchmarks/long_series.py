@@ -8,10 +8,13 @@ Compares the three Kalman whitening engines on one chip:
 Usage: python benchmarks/long_series.py [N] [--no-assoc]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -14,10 +14,13 @@ blocked-scan RTS smoother.
 Usage: python benchmarks/million_smc.py [N] [--particles=64]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

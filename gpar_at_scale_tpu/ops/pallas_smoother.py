@@ -147,7 +147,7 @@ def _r1_kernel(d, E_ref, g_ref, L_ref, oE, og, oL, sE, sg, sL):
                 oL[i * d + j] = sL[i * d + j]
 
 
-def _r3_kernel(d, E_ref, g_ref, L_ref, M_ref, g0_ref, L0_ref, mean_out, var_out, s_m, s_P):
+def _r3_kernel(d, E_ref, g_ref, L_ref, M_ref, g0_ref, L0_ref, mean_out, var_out, ms_out, Ps_out, s_m, s_P):
     """Reversed grid: carry smoothed (ms, Ps); emit f-space marginals."""
     t = pl.program_id(0)
 
@@ -180,14 +180,21 @@ def _r3_kernel(d, E_ref, g_ref, L_ref, M_ref, g0_ref, L0_ref, mean_out, var_out,
     var_out[0] = jnp.where(msk, jnp.maximum(Ps_n[(0, 0)], 0.0), 0.0)
 
     for i in range(d):
+        ms_out[0, i] = jnp.where(msk, ms_n[i], 0.0)
         s_m[i] = ms_n[i]
         for j in range(d):
+            Ps_out[0, i * d + j] = jnp.where(msk, Ps_n[(i, j)], 0.0)
             s_P[i * d + j] = Ps_n[(i, j)]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False):
-    """Blocked-scan RTS smoother: (f_mean (N,), f_var (N,), ll scalar)."""
+@functools.partial(jax.jit, static_argnames=("interpret", "return_state"))
+def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False, return_state: bool = False):
+    """Blocked-scan RTS smoother: (f_mean (N,), f_var (N,), ll scalar).
+
+    With ``return_state=True`` additionally returns the full smoothed state
+    moments ms (N, d), Ps (N, d, d) and the smoother gains E (N, d, d)
+    (E[k] maps step k+1's smoothed moments back to step k) — the sufficient
+    statistics for the Fisher-identity gradient (``ops/pallas_grad.py``)."""
     d = lgssm.dim
     n = lgssm.num_steps
     f32 = jnp.float32
@@ -324,15 +331,23 @@ def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False):
     )
     scal_rev = pl.BlockSpec((1, SUB, LANE), lambda t: (T - 1 - t, 0, 0), memory_space=pltpu.VMEM)
 
+    vec_rev_out = pl.BlockSpec(
+        (1, d, SUB, LANE), lambda t: (T - 1 - t, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    mat_rev_out = pl.BlockSpec(
+        (1, d * d, SUB, LANE), lambda t: (T - 1 - t, 0, 0, 0), memory_space=pltpu.VMEM
+    )
     r3 = functools.partial(_r3_kernel, d)
-    mean_l, var_l = pl.pallas_call(
+    mean_l, var_l, ms_l, Ps_l = pl.pallas_call(
         r3,
         grid=(T,),
         in_specs=[mat_rev, vec_rev, mat_rev, scal_rev, const_vec, const_mat],
-        out_specs=(scal_rev, scal_rev),
+        out_specs=(scal_rev, scal_rev, vec_rev_out, mat_rev_out),
         out_shape=(
             jax.ShapeDtypeStruct((T, SUB, LANE), f32),
             jax.ShapeDtypeStruct((T, SUB, LANE), f32),
+            jax.ShapeDtypeStruct((T, d, SUB, LANE), f32),
+            jax.ShapeDtypeStruct((T, d * d, SUB, LANE), f32),
         ),
         scratch_shapes=[
             pltpu.VMEM((d, SUB, LANE), f32),
@@ -343,4 +358,10 @@ def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False):
 
     f_mean = _unlane(mean_l, T)[:n]
     f_var = _unlane(var_l, T)[:n]
-    return f_mean, f_var, ll
+    if not return_state:
+        return f_mean, f_var, ll
+    ms = _unlane_vec(ms_l, T, d)[:n]
+    Ps = (
+        Ps_l.reshape(T, d * d, LANES).transpose(2, 0, 1).reshape(LANES * T, d, d)[:n]
+    )
+    return f_mean, f_var, ll, ms, Ps, E[:n]
