@@ -13,8 +13,9 @@ from gpar_at_scale_tpu.parallel.seqshard import (
     make_sharded_decorrelate,
     make_sharded_filter,
     make_sharded_logpdf,
+    make_sharded_smooth,
 )
-from gpar_at_scale_tpu.ssm.kalman import decorrelate, kalman_filter
+from gpar_at_scale_tpu.ssm.kalman import decorrelate, kalman_filter, rts_smooth
 from gpar_at_scale_tpu.ssm.markov import lgssm_of
 
 
@@ -70,6 +71,18 @@ def test_dtc_objective_with_sharded_filter(mesh):
     ref = dtc_objective(out_k, lgssm, X, Z, y)
     got = dtc_objective(out_k, lgssm, X, Z, y, filter_fn=make_sharded_filter(mesh))
     np.testing.assert_allclose(got, ref, rtol=1e-8)
+
+
+@pytest.mark.parametrize("n,b", [(64, 3), (61, 2), (40, 0), (5, 0)])
+def test_smoother_matches_sequential(mesh, n, b):
+    lgssm, y = _problem(n, b=b, seed=3)
+    oracle = rts_smooth(lgssm, y)
+    res = make_sharded_smooth(mesh)(lgssm, y)
+    np.testing.assert_allclose(res.mean, oracle.mean, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(res.var, oracle.var, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(res.ms, oracle.ms, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(res.Ps, oracle.Ps, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(res.ll, oracle.ll, rtol=1e-9)
 
 
 def test_gradients_flow_through_sharded_filter(mesh):
