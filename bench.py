@@ -40,6 +40,7 @@ def main():
     from gpar_at_scale_tpu.gp.dtc import compute_q_u, dtc_objective, predict_scaled
     from gpar_at_scale_tpu.kernels import Matern52
     from gpar_at_scale_tpu.ssm.markov import lgssm_of
+    from gpar_at_scale_tpu.ssm.pkalman import parallel_filter, parallel_smooth
     from gpar_at_scale_tpu.utils.params import unpack_gpar
     import optax
 
@@ -66,7 +67,11 @@ def main():
         time_k = Matern52(lengthscale=tl, variance=ts**2)
         out_k = Matern52(lengthscale=ol, variance=osig**2)
         lgssm = lgssm_of(time_k, t, ns**2, dtype)
-        return -dtc_objective(out_k, lgssm, X, Z, y, uu_ridge=ns**2)
+        # Associative-scan filter: O(log N) depth — ~2x faster than the
+        # sequential scan for this N on one chip (see PROGRESS notes).
+        return -dtc_objective(
+            out_k, lgssm, X, Z, y, uu_ridge=ns**2, filter_fn=parallel_filter
+        )
 
     @jax.jit
     def fit(params0):
@@ -88,8 +93,11 @@ def main():
         out_k = Matern52(lengthscale=ol, variance=osig**2)
         nv = ns**2
         lgssm = lgssm_of(time_k, t, nv, dtype)
-        qu = compute_q_u(out_k, lgssm, X, Z, y, uu_ridge=ns**2)
-        pred = predict_scaled(out_k, time_k, qu, X, t, y, t_star, X_star, nv, dtype=dtype)
+        qu = compute_q_u(out_k, lgssm, X, Z, y, uu_ridge=ns**2, filter_fn=parallel_filter)
+        pred = predict_scaled(
+            out_k, time_k, qu, X, t, y, t_star, X_star, nv,
+            dtype=dtype, smooth_fn=parallel_smooth,
+        )
         return pred.mean, pred.var
 
     params0 = jnp.zeros(5, dtype)

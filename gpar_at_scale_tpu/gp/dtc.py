@@ -205,6 +205,7 @@ def predict_scaled(
     key=None,
     num_samples: int = 0,
     dtype=jnp.float64,
+    smooth_fn=None,
 ) -> ScaledPrediction:
     """Posterior predictive for f* = f_x* + f_t* at (t_star, V_star).
 
@@ -225,7 +226,13 @@ def predict_scaled(
     variance (K2: smoothed-mean spread only).  With ``num_samples > 0`` the
     reference's MC estimate is reproduced (plus the E[P] term), batched into
     a single smoothing pass over all samples.
+
+    smooth_fn: RTS smoother implementation — ``rts_smooth`` (sequential,
+    default), ``pkalman.parallel_smooth`` (associative scan, O(log N) depth)
+    or a mesh-sharded smoother from ``parallel.seqshard``.
     """
+    if smooth_fn is None:
+        smooth_fn = rts_smooth
     V = _as_2d(V)
     V_star = _as_2d(V_star)
     t = jnp.asarray(t, dtype)
@@ -257,7 +264,7 @@ def predict_scaled(
         fx_bar = Phi @ qu.m_eps  # (N_all,)
         G = solve_lower(qu.L_D, Phi.T).T  # Phi L_D^-T; Cov[f_x] = G G^T
         cols = jnp.concatenate([(y_s - fx_bar)[:, None], G], axis=1)
-        sm = rts_smooth(lgssm, cols)
+        sm = smooth_fn(lgssm, cols)
         mean_all = fx_bar + sm.mean[:, 0]
         H = G - sm.mean[:, 1:]  # (I - S) G
         var_all = jnp.sum(H * H, axis=1) + sm.var
@@ -266,7 +273,7 @@ def predict_scaled(
             raise ValueError("num_samples > 0 requires a PRNG key")
         eps = qu.sample_eps(key, num_samples)  # (M, S)
         fx = Phi @ eps  # (N_all, S)
-        sm = rts_smooth(lgssm, y_s[:, None] - fx)
+        sm = smooth_fn(lgssm, y_s[:, None] - fx)
         f = fx + sm.mean  # (N_all, S)
         mean_all = jnp.mean(f, axis=1)
         # K2 fix: sample spread of the smoothed means PLUS the smoother's own
