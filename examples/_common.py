@@ -46,6 +46,9 @@ def setup_jax(cpu: bool = False, x64: bool = True):
 
     if x64:
         jax.config.update("jax_enable_x64", True)
+    # See tests/conftest.py: XLA AOT sub-cache feature stamps are unreliable
+    # across processes in this sandbox.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     return jax
 
 

@@ -58,7 +58,11 @@ class GPARConfig:
     max_opt_steps: int = 200
     optimizer: str = "lbfgs"  # 'lbfgs' | 'adam'
     dtype: Any = jnp.float64
-    filter_impl: str = "sequential"  # 'sequential' | 'associative' (O(log N) depth)
+    # 'sequential' | 'associative' (O(log N) depth) | 'pallas' (blocked-scan
+    # TPU kernels: temporal NLML gradients via the disturbance-smoother VJP;
+    # the DTC bound optimizes through the associative filter and switches to
+    # the Pallas whitening kernel for the post-fit q(u)/predictions)
+    filter_impl: str = "sequential"
 
 
 def _minimize(cfg: GPARConfig, fun, x0) -> OptResult:
@@ -124,10 +128,22 @@ def fit_first_output(key, t, y, cfg: GPARConfig, init_params=None) -> FittedGP:
         order = jnp.argsort(t)
         t_s, y_s = t[order], y[order]
 
-        def nlml(p):
-            l, ps, ns = unpack_gp(p)
-            k = time_kernel_only(cfg.time_family, l, ps)
-            return -ssm_logpdf(lgssm_of(k, t_s, ns**2, cfg.dtype), y_s)
+        if cfg.filter_impl == "pallas":
+            # Blocked-scan TPU filter with the disturbance-smoother custom
+            # VJP (ops/pallas_grad.py): exact O(N) gradients, f32, d <= 3.
+            from gpar_at_scale_tpu.ops.pallas_grad import logpdf_markov_pallas
+
+            def nlml(p):
+                l, ps, ns = unpack_gp(p)
+                k = time_kernel_only(cfg.time_family, l, ps)
+                return -logpdf_markov_pallas(k, t_s, ns**2, y_s)
+
+        else:
+
+            def nlml(p):
+                l, ps, ns = unpack_gp(p)
+                k = time_kernel_only(cfg.time_family, l, ps)
+                return -ssm_logpdf(lgssm_of(k, t_s, ns**2, cfg.dtype), y_s)
 
     else:
 
@@ -236,7 +252,9 @@ def fit_conditional(key, t, X_prev, y, cfg: GPARConfig, init_params=None) -> Fit
         # uu_ridge = s2 mirrors the reference (its FiniteGP u carries the
         # observation noise, src/gp/dtc.jl:35) and keeps chol(K_uu) stable
         # when the out-lengthscale grows and K_uu approaches rank one.
-        f_impl = parallel_filter if cfg.filter_impl == "associative" else None
+        # 'pallas' optimizes through the associative filter (the whitening
+        # kernel has no autodiff path) and uses Pallas post-fit below.
+        f_impl = parallel_filter if cfg.filter_impl in ("associative", "pallas") else None
         return -dtc_objective(out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2, filter_fn=f_impl)
 
     res = _minimize(cfg, nlml, x0)
@@ -244,7 +262,12 @@ def fit_conditional(key, t, X_prev, y, cfg: GPARConfig, init_params=None) -> Fit
     time_k = time_kernel_only(cfg.time_family, tl, ts)
     out_k = cfg.out_family(lengthscale=ol, variance=osig**2)
     lgssm = lgssm_of(time_k, t_s, ns**2, cfg.dtype)
-    f_impl = parallel_filter if cfg.filter_impl == "associative" else None
+    if cfg.filter_impl == "pallas":
+        f_impl = "pallas"
+    elif cfg.filter_impl == "associative":
+        f_impl = parallel_filter
+    else:
+        f_impl = None
     qu = compute_q_u(out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2, filter_fn=f_impl)
     return FittedConditional(
         params=res.params,

@@ -1,37 +1,48 @@
-"""Differentiable Pallas log-likelihood: Fisher-identity custom VJP.
+"""Differentiable Pallas log-likelihood: disturbance-smoother custom VJP.
 
-The blocked-scan kernels are not traced by JAX autodiff, but the score of an
-LGSSM log-likelihood has a closed form in the *smoothed* moments (Fisher /
-EM identity):  with the joint
+The blocked-scan kernels are not traced by JAX autodiff; instead the VJP of
+``ll = filter(A, Q, R, y)`` is computed in closed form from the filter's own
+per-step outputs via the De Jong / Koopman disturbance smoother.  With the
+model
 
-    log p(x, y) = sum_k log N(x_k; A_k x_{k-1}, Q_k)
-                + sum_k log N(y_k; H x_k, R_k),      H = e1^T, x_{-1} := 0,
+    x_k = A_k x_{k-1} + w_k, w_k ~ N(0, Q_k), x_{-1} := 0,
+    y_k = H x_k + v_k,       v_k ~ N(0, R_k),          H = e1^T,
 
-the marginal score is the posterior expectation of the joint score:
+and filter quantities e_k (innovation), S_k, K_k, filtered (m_k, P_k), run
+the backward r/N recursions (r_n = 0, N_n = 0)
 
-    d ll / d A_k = Q_k^-1 (Xi_k - A_k Phi_{k-1})
-    d ll / d Q_k = 1/2 (Q_k^-1 M_k Q_k^-1 - Q_k^-1)
-    d ll / d R_k = 1/2 ((e_k^2 + H Ps_k H^T) / R_k^2 - 1 / R_k)
-    d ll / d y_k = -e_k / R_k,         e_k = y_k - H ms_k
+    C_k = (I - K_k H)^T A_{k+1}^T
+    r_k = H^T e_k / S_k + C_k r_{k+1}
+    N_k = H^T H / S_k   + C_k N_{k+1} C_k^T .
 
-    Phi_k  = Ps_k + ms_k ms_k^T                   (smoothed second moment)
-    Xi_k   = Ps_k E_{k-1}^T + ms_k ms_{k-1}^T     (lag-one cross moment;
-             Cov(x_{k-1}, x_k | y) = E_{k-1} Ps_k with the smoother gain E)
-    M_k    = Phi_k - A_k Xi_k^T - Xi_k A_k^T + A_k Phi_{k-1} A_k^T
+Then r_k is the adjoint of the predicted mean and sym(Pbar_k) =
+1/2 (r_k r_k^T - N_k) the adjoint of the predicted covariance
+Pp_k = A_k P_{k-1} A_k^T + Q_k, giving the exact score
 
-so the VJP of ``ll = filter(A, Q, R, y)`` is ONE blocked-scan smoother pass
-plus elementwise algebra — the same O(N) streaming cost as the forward pass.
-Composes with JAX autodiff through ``ssm.markov.discretize`` (closed-form in
-XLA), giving end-to-end hyperparameter gradients at 300+ M filter steps/s.
+    d ll / d Q_k = 1/2 (r_k r_k^T - N_k)
+    d ll / d A_k = (r_k r_k^T - N_k) A_k P_{k-1} + r_k m_{k-1}^T
+    d ll / d R_k = 1/2 (u_k^2 - D_k)
+    d ll / d y_k = -u_k
 
-Caveats: f32; H = e1 (single Matern family, d <= 3).  RELIABLE FOR d = 1
-(Matern12) ONLY: for d >= 2 the Q_k^-1-weighted terms amplify the f32 error
-of the smoothed moments by the condition number of Q_k (corner entries are
-O((lam dt)^{2p+1})), and measured gradients are wrong by orders of magnitude
-at typical time gaps.  The stable reformulation is Koopman's disturbance
-smoother (backward r/N recursions — no Q inverse), planned as the follow-up;
-until then use SMC (gradient-free, ``benchmarks/million_smc.py``) or the
-differentiable sequential/associative engines for d >= 2 gradients.
+    u_k = e_k / S_k - (A_{k+1} K_k)^T r_{k+1}      (smoothed obs disturbance)
+    D_k = 1 / S_k + (A_{k+1} K_k)^T N_{k+1} (A_{k+1} K_k) .
+
+Unlike the EM/Fisher identity (smoothed second moments weighted by Q_k^-1),
+nothing here inverts Q or Pp — the only divisions are by the innovation
+variance S_k — so the gradient is f32-stable for all d <= 3 (Matern 1/2,
+3/2, 5/2), including the near-singular Q_k of small time gaps.
+
+The r/N recursion is affine + congruence — exactly the algebraic shape of
+the RTS smoothing combine — so it runs on the shared blocked-scan backward
+engine (``pallas_smoother.pallas_suffix_scan``): one streaming forward
+filter + one streaming backward pass, O(N) total, O(log LANES) critical
+path.  Composes with JAX autodiff through ``ssm.markov.discretize``
+(closed-form in XLA), giving end-to-end hyperparameter gradients at
+hundreds of millions of filter steps/s.
+
+Replaces the reference's derivative-free Nelder-Mead choice
+(``src/gp/dtc.jl:58-61``; Zygote imported but unused,
+``src/GPARatScale.jl:2``) with exact O(N) gradients.
 """
 
 from __future__ import annotations
@@ -40,7 +51,12 @@ import jax
 import jax.numpy as jnp
 
 from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate
-from gpar_at_scale_tpu.ops.pallas_smoother import _batched_inv, pallas_smooth
+from gpar_at_scale_tpu.ops.pallas_smoother import (
+    _bmm,
+    _bmmT,
+    _bmv,
+    pallas_suffix_scan,
+)
 from gpar_at_scale_tpu.ssm.markov import LGSSM
 
 
@@ -59,59 +75,58 @@ def _h_row(A):
 
 
 def _fwd(A, Q, R, y):
-    return lgssm_loglik(A, Q, R, y), (A, Q, R, y)
+    lgssm = LGSSM(A=A, Q=Q, H=_h_row(A), R=R)
+    interp = jax.default_backend() != "tpu"
+    ll, alpha, _, S, K, m, P = pallas_decorrelate(
+        lgssm, y, interpret=interp, return_full=True
+    )
+    return ll, (A, Q, R, alpha, S, K, m, P)
 
 
 def _bwd(res, ct):
-    A, Q, R, y = res
-    d = A.shape[-1]
-    lgssm = LGSSM(A=A, Q=Q, H=_h_row(A), R=R)
+    A, Q, R, alpha, S, K, m, P = res
+    n, d = K.shape
+    f32 = jnp.float32
     interp = jax.default_backend() != "tpu"
-    _, _, _, ms, Ps, E = pallas_smooth(lgssm, y, interpret=interp, return_state=True)
 
-    def bmm(X, Y):
-        return jnp.stack(
-            [
-                jnp.stack(
-                    [sum(X[:, i, k] * Y[:, k, j] for k in range(d)) for j in range(d)], axis=-1
-                )
-                for i in range(d)
-            ],
-            axis=-2,
-        )
+    e = alpha * jnp.sqrt(S)  # innovations (phase 3 emits alpha = e/sqrt(S))
+    A_next = jnp.concatenate([A[1:].astype(f32), jnp.zeros((1, d, d), f32)])
 
-    def bmmT(X, Y):
-        return jnp.stack(
-            [
-                jnp.stack(
-                    [sum(X[:, i, k] * Y[:, j, k] for k in range(d)) for j in range(d)], axis=-1
-                )
-                for i in range(d)
-            ],
-            axis=-2,
-        )
+    # r/N elements: C_k = (I - K_k H)^T A_{k+1}^T = (A_{k+1}(I - K_k H))^T
+    e1 = jnp.zeros((d,), f32).at[0].set(1.0)
+    ImKH = jnp.eye(d, dtype=f32)[None] - K[:, :, None] * e1[None, None, :]
+    C = jnp.swapaxes(_bmm(A_next, ImKH), -1, -2)
+    b = (e / S)[:, None] * e1[None, :]
+    W = (1.0 / S)[:, None, None] * (e1[:, None] * e1[None, :])[None]
 
-    outer = lambda a, b: a[:, :, None] * b[:, None, :]
+    r, N = pallas_suffix_scan(C, b, W, interpret=interp)
 
-    Phi = Ps + outer(ms, ms)  # (N, d, d)
-    ms_prev = jnp.concatenate([jnp.zeros((1, d), ms.dtype), ms[:-1]], axis=0)
-    Phi_prev = jnp.concatenate([jnp.zeros((1, d, d), Ps.dtype), Phi[:-1]], axis=0)
-    E_prev = jnp.concatenate([jnp.zeros((1, d, d), E.dtype), E[:-1]], axis=0)
-    # Xi_k = E[x_k x_{k-1}^T] = Ps_k E_{k-1}^T + ms_k ms_{k-1}^T
-    Xi = bmmT(Ps, E_prev) + outer(ms, ms_prev)
+    outer = lambda a, bb: a[:, :, None] * bb[:, None, :]
+    rrN = outer(r, r) - N  # 2 * Pbar_k
 
-    Qinv = _batched_inv(Q, d)
-    AXiT = bmmT(A, Xi)  # A_k Xi_k^T
-    M = Phi - AXiT - jnp.swapaxes(AXiT, -1, -2) + bmmT(bmm(A, Phi_prev), A)
+    # dQ_k = Pbar_k
+    dQ = 0.5 * rrN
+    # dA_k = 2 Pbar_k A_k P_{k-1} + r_k m_{k-1}^T   (m_{-1} = 0, P_{-1} = 0)
+    m_prev = jnp.concatenate([jnp.zeros((1, d), f32), m[:-1].astype(f32)])
+    P_prev = jnp.concatenate([jnp.zeros((1, d, d), f32), P[:-1].astype(f32)])
+    dA = _bmm(rrN, _bmm(A.astype(f32), P_prev)) + outer(r, m_prev)
 
-    dA = bmm(Qinv, Xi - bmm(A, Phi_prev))
-    dQ = 0.5 * (bmm(bmm(Qinv, M), Qinv) - Qinv)
-    e = y - ms[:, 0]
-    dR = 0.5 * ((e * e + Ps[:, 0, 0]) / (R * R) - 1.0 / R)
-    dy = -e / R
+    # dR_k, dy_k from the smoothed observation disturbance
+    r_next = jnp.concatenate([r[1:], jnp.zeros((1, d), f32)])
+    N_next = jnp.concatenate([N[1:], jnp.zeros((1, d, d), f32)])
+    AK = _bmv(A_next, K.astype(f32))  # A_{k+1} K_k
+    u = e / S - jnp.sum(AK * r_next, axis=-1)
+    D = 1.0 / S + jnp.sum(AK * _bmv(N_next, AK), axis=-1)
+    dR = 0.5 * (u * u - D)
+    dy = -u
 
-    ct = jnp.asarray(ct, A.dtype)
-    return (ct * dA, ct * dQ, ct * dR, ct * dy)
+    ct = jnp.asarray(ct, f32)
+    return (
+        (ct * dA).astype(A.dtype),
+        (ct * dQ).astype(Q.dtype),
+        (ct * dR).astype(R.dtype),
+        (ct * dy).astype(jnp.result_type(dy)),
+    )
 
 
 lgssm_loglik.defvjp(_fwd, _bwd)
@@ -119,7 +134,8 @@ lgssm_loglik.defvjp(_fwd, _bwd)
 
 def logpdf_markov_pallas(kernel, t, noise_var, y):
     """Differentiable end-to-end: kernel hyperparams -> discretize (XLA
-    autodiff) -> blocked-scan filter ll (custom VJP).  f32, d <= 3."""
+    autodiff) -> blocked-scan filter ll (disturbance-smoother custom VJP).
+    f32, d <= 3."""
     from gpar_at_scale_tpu.ssm.markov import lgssm_of
 
     lgssm = lgssm_of(kernel, jnp.asarray(t, jnp.float32), noise_var, jnp.float32)

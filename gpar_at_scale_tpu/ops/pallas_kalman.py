@@ -311,13 +311,17 @@ def _flatten_mat(x):
     return x.reshape(T, d * d, s, l)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "return_gains", "return_moments"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "return_gains", "return_moments", "return_full"),
+)
 def pallas_decorrelate(
     lgssm: LGSSM,
     y,
     interpret: bool = False,
     return_gains: bool = False,
     return_moments: bool = False,
+    return_full: bool = False,
 ):
     """Whitening pass (ll, alpha, sum log S) via the blocked-scan kernel.
 
@@ -327,6 +331,8 @@ def pallas_decorrelate(
     column-whitening kernel (``ops/pallas_whiten.py``).  With
     ``return_moments=True`` returns the filtered moments m (N, d), P (N, d, d)
     — consumed by the blocked-scan smoother (``ops/pallas_smoother.py``).
+    With ``return_full=True`` returns (ll, alpha, logdet, S, K, m, P) — the
+    disturbance-smoother VJP (``ops/pallas_grad.py``) consumes everything.
     """
     d = lgssm.dim
     if d > 3:
@@ -450,18 +456,21 @@ def pallas_decorrelate(
     alpha = alpha_l.reshape(T, LANES).transpose(1, 0).reshape(LANES * T)[:n]
     ll = jnp.sum(ll_l)
     logdet = jnp.sum(ls_l)
-    if return_moments:
+    if return_moments or return_full:
         m = m_l.reshape(T, d, LANES).transpose(2, 0, 1).reshape(LANES * T, d)[:n]
         P = (
             P_l.reshape(T, d * d, LANES)
             .transpose(2, 0, 1)
             .reshape(LANES * T, d, d)[:n]
         )
-        return ll, alpha, logdet, m, P
-    if not return_gains:
+        if not return_full:
+            return ll, alpha, logdet, m, P
+    if not (return_gains or return_full):
         return ll, alpha, logdet
     S = jnp.exp(logs_l.reshape(T, LANES).transpose(1, 0).reshape(LANES * T)[:n])
     K = (
         K_l.reshape(T, d, LANES).transpose(2, 0, 1).reshape(LANES * T, d)[:n]
     )
+    if return_full:
+        return ll, alpha, logdet, S, K, m, P
     return ll, alpha, logdet, S, K

@@ -15,11 +15,15 @@ suffix element's (g, L).
   phase R1  -- per-block suffix reduction of smoothing elements (reversed
                grid, 1024 blocks in the VPU lanes)
   phase R2  -- reverse exclusive combine over the 1024 block elements (XLA)
-  phase R3  -- per-block backward replay emitting f-space smoothed
-               mean/variance per step
+  phase R3  -- per-block backward replay emitting the smoothed state
+               moments per step
 
-Single observation column, f32, d <= 3.  Returns the ``rts_smooth``
-(mean, var, ll) contract.
+Phases R1-R3 are generic over any affine+congruence element algebra and are
+exposed as ``pallas_suffix_scan`` — also the backward engine of the
+disturbance-smoother gradient (``ops/pallas_grad.py``).
+
+Single observation column, f32, d <= 3.  ``pallas_smooth`` returns the
+``rts_smooth`` (mean, var, ll) contract.
 """
 
 from __future__ import annotations
@@ -72,6 +76,39 @@ def _batched_inv(Z, d):
         jnp.stack([c02, c12, c22], axis=-1),
     ]
     return jnp.stack(rows, axis=-2) / det[:, None, None]
+
+
+def _bmm(X, Y):  # (N,d,d) @ (N,d,d), unrolled elementwise
+    d = X.shape[-1]
+    return jnp.stack(
+        [
+            jnp.stack(
+                [sum(X[:, i, k] * Y[:, k, j] for k in range(d)) for j in range(d)], axis=-1
+            )
+            for i in range(d)
+        ],
+        axis=-2,
+    )
+
+
+def _bmmT(X, Y):  # (N,d,d) @ (N,d,d)^T
+    d = X.shape[-1]
+    return jnp.stack(
+        [
+            jnp.stack(
+                [sum(X[:, i, k] * Y[:, j, k] for k in range(d)) for j in range(d)], axis=-1
+            )
+            for i in range(d)
+        ],
+        axis=-2,
+    )
+
+
+def _bmv(X, v):  # (N,d,d) @ (N,d)
+    d = X.shape[-1]
+    return jnp.stack(
+        [sum(X[:, i, k] * v[:, k] for k in range(d)) for i in range(d)], axis=-1
+    )
 
 
 def _unlane(x_l, T):
@@ -147,8 +184,8 @@ def _r1_kernel(d, E_ref, g_ref, L_ref, oE, og, oL, sE, sg, sL):
                 oL[i * d + j] = sL[i * d + j]
 
 
-def _r3_kernel(d, E_ref, g_ref, L_ref, M_ref, g0_ref, L0_ref, mean_out, var_out, ms_out, Ps_out, s_m, s_P):
-    """Reversed grid: carry smoothed (ms, Ps); emit f-space marginals."""
+def _r3_kernel(d, E_ref, g_ref, L_ref, g0_ref, L0_ref, ms_out, Ps_out, s_m, s_P):
+    """Reversed grid: carry the running suffix (g, L); emit it per step."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -161,7 +198,6 @@ def _r3_kernel(d, E_ref, g_ref, L_ref, M_ref, g0_ref, L0_ref, mean_out, var_out,
     E = _read(E_ref, d)
     g = {i: g_ref[0, i] for i in range(d)}
     L = _read(L_ref, d)
-    msk = M_ref[0] > 0.5
 
     ms = {i: s_m[i] for i in range(d)}
     Ps = {(i, j): s_P[i * d + j] for i in range(d) for j in range(d)}
@@ -176,101 +212,49 @@ def _r3_kernel(d, E_ref, g_ref, L_ref, M_ref, g0_ref, L0_ref, mean_out, var_out,
         for j in range(d)
     }
 
-    mean_out[0] = jnp.where(msk, ms_n[0], 0.0)
-    var_out[0] = jnp.where(msk, jnp.maximum(Ps_n[(0, 0)], 0.0), 0.0)
-
     for i in range(d):
-        ms_out[0, i] = jnp.where(msk, ms_n[i], 0.0)
+        ms_out[0, i] = ms_n[i]
         s_m[i] = ms_n[i]
         for j in range(d):
-            Ps_out[0, i * d + j] = jnp.where(msk, Ps_n[(i, j)], 0.0)
+            Ps_out[0, i * d + j] = Ps_n[(i, j)]
             s_P[i * d + j] = Ps_n[(i, j)]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "return_state"))
-def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False, return_state: bool = False):
-    """Blocked-scan RTS smoother: (f_mean (N,), f_var (N,), ll scalar).
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_suffix_scan(E, g, L, interpret: bool = False):
+    """Per-step inclusive suffix combine of affine+congruence elements.
 
-    With ``return_state=True`` additionally returns the full smoothed state
-    moments ms (N, d), Ps (N, d, d) and the smoother gains E (N, d, d)
-    (E[k] maps step k+1's smoothed moments back to step k) — the sufficient
-    statistics for the Fisher-identity gradient (``ops/pallas_grad.py``)."""
-    d = lgssm.dim
-    n = lgssm.num_steps
+    Given per-step elements e_k = (E_k (d,d), g_k (d,), L_k (d,d)),
+    k = 0..n-1, with the associative combine
+
+        (earlier o later) = (E_e E_l, g_e + E_e g_l, L_e + E_e L_l E_e^T),
+
+    returns for every k the (g, L) components of e_k o e_{k+1} o ... o
+    e_{n-1} — i.e. the solution of the backward recursions
+
+        v_k = g_k + E_k v_{k+1},   M_k = L_k + E_k M_{k+1} E_k^T,
+        v_n = 0, M_n = 0
+
+    as (v (n, d), M (n, d, d)).  This is the shared backward engine of the
+    RTS smoother (elements = smoothing gains, ``pallas_smooth``) and of the
+    disturbance-smoother gradient (elements = (L_k^T, H^T e_k/S_k,
+    H^T H/S_k) — the De Jong/Koopman r/N recursions, ``ops/pallas_grad.py``).
+    f32, d <= 3; two streaming passes (R1 suffix-reduce + R3 replay) plus an
+    O(LANES) XLA combine (R2)."""
+    n, d = g.shape
     f32 = jnp.float32
     T = -(-n // LANES)
-    Np = LANES * T
-
-    # ---- phase F: forward filter with moments ---------------------------
-    ll, _alpha, _logdet, m_lin, P_lin = pallas_decorrelate(
-        lgssm, y, interpret=interpret, return_moments=True
-    )  # m (N, d), P (N, d, d)
-
-    A = lgssm.A.astype(f32)
-    Q = lgssm.Q.astype(f32)
-
-    # ---- build smoothing elements in linear order (XLA, elementwise) ----
-    pad = Np - n
-    mask = jnp.concatenate([jnp.ones((n,), f32), jnp.zeros((pad,), f32)])
-    mask_next = jnp.concatenate([mask[1:], jnp.zeros((1,), f32)])
-    A_next = jnp.concatenate([A[1:], jnp.zeros((1, d, d), f32)])
-    Q_next = jnp.concatenate([Q[1:], jnp.eye(d, dtype=f32)[None]])
-    m = jnp.concatenate([m_lin.astype(f32), jnp.zeros((pad, d), f32)])
-    P = jnp.concatenate([P_lin.astype(f32), jnp.zeros((pad, d, d), f32)])
-    A_next = jnp.concatenate([A_next, jnp.zeros((pad, d, d), f32)])
-    Q_next = jnp.concatenate([Q_next, jnp.tile(jnp.eye(d, dtype=f32)[None], (pad, 1, 1))])
-
-    # All element algebra fully unrolled into (N,)-elementwise ops: batched
-    # d x d einsums/matmuls pad each tiny operand onto MXU tiles (and
-    # batched linalg.solve takes the LU path) — both pathological on TPU.
-    def bmm(X, Y):  # (N,d,d) @ (N,d,d)
-        return jnp.stack(
-            [
-                jnp.stack(
-                    [sum(X[:, i, k] * Y[:, k, j] for k in range(d)) for j in range(d)], axis=-1
-                )
-                for i in range(d)
-            ],
-            axis=-2,
-        )
-
-    def bmmT(X, Y):  # (N,d,d) @ (N,d,d)^T
-        return jnp.stack(
-            [
-                jnp.stack(
-                    [sum(X[:, i, k] * Y[:, j, k] for k in range(d)) for j in range(d)], axis=-1
-                )
-                for i in range(d)
-            ],
-            axis=-2,
-        )
-
-    def bmv(X, v):  # (N,d,d) @ (N,d)
-        return jnp.stack(
-            [sum(X[:, i, k] * v[:, k] for k in range(d)) for i in range(d)], axis=-1
-        )
-
-    mp_next = bmv(A_next, m)
-    Pp_next = bmmT(bmm(A_next, P), A_next) + Q_next
-    PAt = bmmT(P, A_next)  # P_k A_{k+1}^T
-    E = bmm(PAt, _batched_inv(Pp_next, d))
-    g = m - bmv(E, mp_next)
-    L = P - bmmT(bmm(E, Pp_next), E)
+    pad = LANES * T - n
 
     eye = jnp.eye(d, dtype=f32)[None]
-    is_pad = mask[:, None, None] < 0.5
-    is_term = jnp.logical_and(mask[:, None, None] > 0.5, mask_next[:, None, None] < 0.5)
-    E = jnp.where(is_pad, eye, jnp.where(is_term, jnp.zeros_like(E), E))
-    L = jnp.where(is_pad, jnp.zeros_like(L), jnp.where(is_term, P, L))
-    g = jnp.where(
-        is_pad[:, :, 0], jnp.zeros_like(g), jnp.where(is_term[:, :, 0], m, g)
-    )
+    E = jnp.concatenate([E.astype(f32), jnp.tile(eye, (pad, 1, 1))])
+    g = jnp.concatenate([g.astype(f32), jnp.zeros((pad, d), f32)])
+    L = jnp.concatenate([L.astype(f32), jnp.zeros((pad, d, d), f32)])
 
     # ---- lane layouts ----------------------------------------------------
     E_l = _flatten_mat(_to_lanes(E, T))
     g_l = _to_lanes(g, T)  # (T, d, 8, 128)
     L_l = _flatten_mat(_to_lanes(L, T))
-    M_l = _to_lanes(mask, T)
 
     mat_rev = _rev_spec(T, d * d)
     vec_rev = _rev_spec(T, d)
@@ -329,8 +313,6 @@ def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False, return_state: bool =
     const_mat = pl.BlockSpec(
         (1, d * d, SUB, LANE), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    scal_rev = pl.BlockSpec((1, SUB, LANE), lambda t: (T - 1 - t, 0, 0), memory_space=pltpu.VMEM)
-
     vec_rev_out = pl.BlockSpec(
         (1, d, SUB, LANE), lambda t: (T - 1 - t, 0, 0, 0), memory_space=pltpu.VMEM
     )
@@ -338,14 +320,12 @@ def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False, return_state: bool =
         (1, d * d, SUB, LANE), lambda t: (T - 1 - t, 0, 0, 0), memory_space=pltpu.VMEM
     )
     r3 = functools.partial(_r3_kernel, d)
-    mean_l, var_l, ms_l, Ps_l = pl.pallas_call(
+    ms_l, Ps_l = pl.pallas_call(
         r3,
         grid=(T,),
-        in_specs=[mat_rev, vec_rev, mat_rev, scal_rev, const_vec, const_mat],
-        out_specs=(scal_rev, scal_rev, vec_rev_out, mat_rev_out),
+        in_specs=[mat_rev, vec_rev, mat_rev, const_vec, const_mat],
+        out_specs=(vec_rev_out, mat_rev_out),
         out_shape=(
-            jax.ShapeDtypeStruct((T, SUB, LANE), f32),
-            jax.ShapeDtypeStruct((T, SUB, LANE), f32),
             jax.ShapeDtypeStruct((T, d, SUB, LANE), f32),
             jax.ShapeDtypeStruct((T, d * d, SUB, LANE), f32),
         ),
@@ -354,14 +334,59 @@ def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False, return_state: bool =
             pltpu.VMEM((d * d, SUB, LANE), f32),
         ],
         interpret=interpret,
-    )(E_l, g_l, L_l, M_l, g0_l, L0_l)
+    )(E_l, g_l, L_l, g0_l, L0_l)
 
-    f_mean = _unlane(mean_l, T)[:n]
-    f_var = _unlane(var_l, T)[:n]
-    if not return_state:
-        return f_mean, f_var, ll
     ms = _unlane_vec(ms_l, T, d)[:n]
     Ps = (
         Ps_l.reshape(T, d * d, LANES).transpose(2, 0, 1).reshape(LANES * T, d, d)[:n]
     )
-    return f_mean, f_var, ll, ms, Ps, E[:n]
+    return ms, Ps
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "return_state"))
+def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False, return_state: bool = False):
+    """Blocked-scan RTS smoother: (f_mean (N,), f_var (N,), ll scalar).
+
+    With ``return_state=True`` additionally returns the full smoothed state
+    moments ms (N, d), Ps (N, d, d) and the smoother gains E (N, d, d)
+    (E[k] maps step k+1's smoothed moments back to step k)."""
+    d = lgssm.dim
+    n = lgssm.num_steps
+    f32 = jnp.float32
+
+    # ---- phase F: forward filter with moments ---------------------------
+    ll, _alpha, _logdet, m, P = pallas_decorrelate(
+        lgssm, y, interpret=interpret, return_moments=True
+    )  # m (N, d), P (N, d, d)
+
+    A = lgssm.A.astype(f32)
+    Q = lgssm.Q.astype(f32)
+    m = m.astype(f32)
+    P = P.astype(f32)
+
+    # ---- smoothing elements in linear order (XLA, elementwise) ----------
+    # All element algebra fully unrolled into (N,)-elementwise ops: batched
+    # d x d einsums/matmuls pad each tiny operand onto MXU tiles (and
+    # batched linalg.solve takes the LU path) — both pathological on TPU.
+    A_next = jnp.concatenate([A[1:], jnp.zeros((1, d, d), f32)])
+    Q_next = jnp.concatenate([Q[1:], jnp.eye(d, dtype=f32)[None]])
+
+    mp_next = _bmv(A_next, m)
+    Pp_next = _bmmT(_bmm(A_next, P), A_next) + Q_next
+    PAt = _bmmT(P, A_next)  # P_k A_{k+1}^T
+    E = _bmm(PAt, _batched_inv(Pp_next, d))
+    g = m - _bmv(E, mp_next)
+    L = P - _bmmT(_bmm(E, Pp_next), E)
+
+    # terminal step: element (0, m_N, P_N)
+    is_term = (jnp.arange(n) == n - 1)[:, None, None]
+    E = jnp.where(is_term, jnp.zeros_like(E), E)
+    L = jnp.where(is_term, P, L)
+    g = jnp.where(is_term[:, :, 0], m, g)
+
+    ms, Ps = pallas_suffix_scan(E, g, L, interpret=interpret)
+    f_mean = ms[:, 0]
+    f_var = jnp.maximum(Ps[:, 0, 0], 0.0)
+    if not return_state:
+        return f_mean, f_var, ll
+    return f_mean, f_var, ll, ms, Ps, E

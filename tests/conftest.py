@@ -41,6 +41,10 @@ os.makedirs("/tmp/jax_cache_cpu", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# XLA's AOT sub-caches stamp host-feature strings inconsistently across
+# processes here (spurious "machine type doesn't match" reload warnings);
+# the serialized-executable cache alone is what makes re-runs fast.
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

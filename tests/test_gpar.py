@@ -37,6 +37,23 @@ def test_first_output_temporal_fit(small_data, key):
     assert err < 0.25, err
 
 
+def test_first_output_pallas_matches_sequential(small_data, key):
+    """filter_impl='pallas': temporal NLML optimized through the blocked-scan
+    filter's disturbance-smoother VJP lands on the same optimum (f32)."""
+    ds = small_data
+    init = pack_gp(0.3, 1.0, 0.1)
+    cfg_s = GPARConfig(first_output_backend="temporal", max_opt_steps=100)
+    cfg_p = GPARConfig(
+        first_output_backend="temporal",
+        max_opt_steps=100,
+        filter_impl="pallas",
+        dtype=jnp.float32,
+    )
+    fit_s = fit_first_output(key, ds.x, ds.y_obs[:, 0], cfg_s, init_params=init)
+    fit_p = fit_first_output(key, ds.x, ds.y_obs[:, 0], cfg_p, init_params=init)
+    np.testing.assert_allclose(fit_p.hyperparams(), fit_s.hyperparams(), rtol=0.05)
+
+
 def test_first_output_exact_matches_temporal(small_data, key):
     """Exact dense and O(N) temporal backends agree at the optimum."""
     ds = small_data
