@@ -6,15 +6,27 @@ Prints ONE JSON line to stdout:
 Workload (mirrors the reference's EEG conditional, ``examples/eeg.jl``):
 N = 156 training points, M = 156 pseudo-points (== training inputs, as the
 reference uses, ``examples/eeg.jl:217-220``), 3 conditioning input dims,
-100 test points.  Pipeline = hyperparameter optimization (50 L-BFGS-equivalent
-Adam steps on the DTC bound) + q(u) + analytic posterior predictive.
+100 test points.  Pipeline = hyperparameter optimization (50 fixed Adam steps
+on the DTC bound) + q(u) + analytic posterior predictive.
+
+Engine selection (round 2): at N=156 every whitening/smoothing pass runs the
+DENSE backend — one chol(Sigma_y) + multi-RHS triangular solve on the MXU —
+instead of a scan; the scan engines are latency-bound at this size (r1
+measured 54.8 ms pipeline through the associative filter).  Serving caches
+q(u) at fit time: predict is K_*u gemv + one dense smoothing pass, not a
+refit (VERDICT r1 "what's weak" #2).
+
+Optimizer note: the library default is L-BFGS (GPARConfig.optimizer); the
+bench intentionally uses fixed-step Adam because the zoom line search's
+data-dependent while_loops make wall-clock vary with the loss surface —
+a fixed 50-step Adam schedule measures engine throughput, not line-search
+luck.  50 Adam steps reach the same optimum basin on this surface (final
+NLML printed to stderr for the record).
 
 Baseline: the reference publishes no numbers (BASELINE.md).  The only speed
 statement it contains is the wall-clock budget it allots this exact
 conditional: 3 s of Nelder-Mead (``examples/eeg.jl:228``) plus its 100-sample
-MC predictive.  vs_baseline is therefore (3 s / our pipeline seconds) — i.e.
-how many times faster than the reference's per-conditional budget we run the
-whole fit+predict.
+MC predictive.  vs_baseline is therefore (3 s / our pipeline seconds).
 """
 
 import json
@@ -40,7 +52,6 @@ def main():
     from gpar_at_scale_tpu.gp.dtc import compute_q_u, dtc_objective, predict_scaled
     from gpar_at_scale_tpu.kernels import Matern52
     from gpar_at_scale_tpu.ssm.markov import lgssm_of
-    from gpar_at_scale_tpu.ssm.pkalman import parallel_filter, parallel_smooth
     from gpar_at_scale_tpu.utils.params import unpack_gpar
     import optax
 
@@ -62,18 +73,23 @@ def main():
 
     opt = optax.adam(5e-2)
 
-    def nlml(params):
+    def _kernels(params):
         tl, ts, ol, osig, ns = unpack_gpar(params)
         time_k = Matern52(lengthscale=tl, variance=ts**2)
         out_k = Matern52(lengthscale=ol, variance=osig**2)
-        lgssm = lgssm_of(time_k, t, ns**2, dtype)
-        # Associative-scan filter: O(log N) depth — ~2x faster than the
-        # sequential scan for this N on one chip (see PROGRESS notes).
+        return time_k, out_k, ns**2
+
+    def nlml(params):
+        time_k, out_k, nv = _kernels(params)
+        lgssm = lgssm_of(time_k, t, nv, dtype)
+        # Dense whitening: chol(K_time + s2 I) + one (N, M+1)-RHS triangular
+        # solve — a single fused MXU op at N=156 (the r1 associative-scan
+        # path was latency-bound here).
         return -dtc_objective(
-            out_k, lgssm, X, Z, y, uu_ridge=ns**2, filter_fn=parallel_filter
+            out_k, lgssm, X, Z, y, uu_ridge=nv,
+            filter_fn="dense", time_kernel=time_k, t=t,
         )
 
-    @jax.jit
     def fit(params0):
         state0 = opt.init(params0)
 
@@ -86,25 +102,36 @@ def main():
         (p, _), losses = jax.lax.scan(body, (params0, state0), None, length=50)
         return p, losses[-1]
 
-    @jax.jit
-    def predict(params):
-        tl, ts, ol, osig, ns = unpack_gpar(params)
-        time_k = Matern52(lengthscale=tl, variance=ts**2)
-        out_k = Matern52(lengthscale=ol, variance=osig**2)
-        nv = ns**2
+    def make_qu(params):
+        """Fit-time artifact: cached q(u) — NOT recomputed per predict."""
+        time_k, out_k, nv = _kernels(params)
         lgssm = lgssm_of(time_k, t, nv, dtype)
-        qu = compute_q_u(out_k, lgssm, X, Z, y, uu_ridge=ns**2, filter_fn=parallel_filter)
+        return compute_q_u(
+            out_k, lgssm, X, Z, y, uu_ridge=nv,
+            filter_fn="dense", time_kernel=time_k, t=t,
+        )
+
+    def predict(params, qu):
+        """Serving path: K_*u gemv + one dense smoothing pass over the
+        spliced train+test series (no refit, no q(u) recompute)."""
+        time_k, out_k, nv = _kernels(params)
         pred = predict_scaled(
             out_k, time_k, qu, X, t, y, t_star, X_star, nv,
-            dtype=dtype, smooth_fn=parallel_smooth,
+            dtype=dtype, smooth_fn="dense",
         )
         return pred.mean, pred.var
+
+    @jax.jit
+    def pipeline(params0):
+        p, loss = fit(params0)
+        qu = make_qu(p)
+        mu, var = predict(p, qu)
+        return p, qu, loss, mu, var
 
     params0 = jnp.zeros(5, dtype)
 
     # Warmup / compile.
-    p, loss = fit(params0)
-    mu, var = predict(p)
+    p, qu, loss, mu, var = pipeline(params0)
     _sync(p, mu, var)
     print(f"devices: {jax.devices()}", file=sys.stderr)
     print(f"final nlml: {float(loss):.3f}", file=sys.stderr)
@@ -112,13 +139,12 @@ def main():
     # Amortized timing: R DISTINCT pipelines inside one jit (distinct inits so
     # XLA cannot hoist loop-invariant work), one host sync at the end — the
     # TPU-tunnel dispatch RTT (tens of ms) is paid once, not per rep.
-    reps = 10
+    reps = 20
 
     @jax.jit
     def pipelines(inits):
         def body(c, p0):
-            p, _ = fit(p0)
-            mu, var = predict(p)
+            _, _, _, mu, var = pipeline(p0)
             return c + jnp.sum(mu) + jnp.sum(var), None
 
         tot, _ = jax.lax.scan(body, jnp.asarray(0.0, dtype), inits)
@@ -130,28 +156,52 @@ def main():
     _sync(pipelines(inits))
     pipeline_s = (time.perf_counter() - t0) / reps
 
-    # Pure predictive throughput (obs/s) — the serving-path metric.
-    reps_p = 50
+    # Serving: cached q(u), K_*u gemv + one dense smoothing pass per request.
+    # Latency = sequential scan over distinct parameter vectors (so XLA cannot
+    # hoist work); throughput = the same requests vmapped into one batched
+    # program (batched chol/solves fill the MXU — how a serving deployment
+    # actually runs many requests on one chip).
+    reps_p = 200
+    pbatch = p[None, :] + 0.001 * jax.random.normal(
+        jax.random.PRNGKey(1), (reps_p, 5), dtype
+    )
 
     @jax.jit
-    def predicts(params_batch):
+    def predict_seq(params_batch):
         def body(c, pp):
-            mu, var = predict(pp)
+            mu, var = predict(pp, qu)
             return c + jnp.sum(mu) + jnp.sum(var), None
 
         tot, _ = jax.lax.scan(body, jnp.asarray(0.0, dtype), params_batch)
         return tot
 
-    pbatch = p[None, :] + 0.001 * jax.random.normal(jax.random.PRNGKey(1), (reps_p, 5), dtype)
-    _sync(predicts(pbatch))  # compile
+    outer = 8  # amortize the tunnel dispatch RTT over several batched rounds
+
+    @jax.jit
+    def predict_batched(params_batch):
+        def body(c, k):
+            mu, var = jax.vmap(lambda pp: predict(pp + 1e-4 * k, qu))(params_batch)
+            return c + jnp.sum(mu) + jnp.sum(var), None
+
+        tot, _ = jax.lax.scan(
+            body, jnp.asarray(0.0, dtype), jnp.arange(outer, dtype=dtype)
+        )
+        return tot
+
+    _sync(predict_seq(pbatch))  # compile
     t0 = time.perf_counter()
-    _sync(predicts(pbatch))
-    pred_s = (time.perf_counter() - t0) / reps_p
-    obs_per_s = n_star / pred_s
+    _sync(predict_seq(pbatch))
+    lat_s = (time.perf_counter() - t0) / reps_p
+
+    _sync(predict_batched(pbatch))  # compile
+    t0 = time.perf_counter()
+    _sync(predict_batched(pbatch))
+    thr_s = time.perf_counter() - t0
+    obs_per_s = outer * reps_p * n_star / thr_s
 
     print(
-        f"pipeline: {pipeline_s*1e3:.1f} ms  predict: {pred_s*1e3:.2f} ms "
-        f"({obs_per_s:,.0f} obs/s)",
+        f"pipeline: {pipeline_s*1e3:.1f} ms  predict latency: {lat_s*1e3:.3f} ms "
+        f"({n_star/lat_s:,.0f} obs/s seq)  batched serving: {obs_per_s:,.0f} obs/s",
         file=sys.stderr,
     )
 
@@ -160,7 +210,7 @@ def main():
         json.dumps(
             {
                 "metric": "eeg_gpar_dtc_pipeline_seconds",
-                "value": round(pipeline_s, 4),
+                "value": round(pipeline_s, 5),
                 "unit": "s",
                 "vs_baseline": round(ref_budget_s / pipeline_s, 1),
             }

@@ -34,11 +34,30 @@ TPU-first upgrades over the reference (SURVEY.md §7):
     (the smoother is linear in its observations, so no MC needed).
   K4 fixed — the prior mean is subtracted consistently in both the objective
     and q(u).
+
+Whitening backends (size-dispatched): the objective only consumes the
+whitened *Gram* quantities
+
+    aa = (y-m)^T Sigma^-1 (y-m),   g = K_fu^T Sigma^-1 (y-m),
+    Gb = K_fu^T Sigma^-1 K_fu,     logdet Sigma
+
+which any square root of Sigma^-1 produces identically.  Four engines:
+
+* ``"dense"`` — chol(Sigma_y) + one triangular solve with M+1 right-hand
+  sides: a single fused MXU op.  At N <= DENSE_N_MAX this is speed-of-light
+  on TPU (the scan engines are latency-bound at small N).  Needs the time
+  kernel + grid to materialize Sigma_y = K_time + diag(R) — O(N^2) memory,
+  hence the size gate.
+* sequential / associative Kalman (O(N) memory) — pass a filter callable.
+* ``"pallas"`` — blocked-scan TPU kernels; differentiable via the batched
+  disturbance-smoother VJP (``ops/pallas_grad.whiten_gram``).
+* ``None`` — auto: dense when (time_kernel, t) are supplied and
+  N <= DENSE_N_MAX, else the sequential scan.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -46,52 +65,90 @@ import jax.numpy as jnp
 from gpar_at_scale_tpu.kernels.base import Kernel, _as_2d
 from gpar_at_scale_tpu.ssm.kalman import kalman_filter, rts_smooth
 from gpar_at_scale_tpu.ssm.markov import LGSSM, lgssm_of
-from gpar_at_scale_tpu.utils.psd import cholesky_psd, solve_lower, solve_upper
+from gpar_at_scale_tpu.utils.psd import (
+    cho_solve,
+    cholesky_psd,
+    logdet_from_chol,
+    solve_lower,
+    solve_upper,
+)
 
 _LOG_2PI = 1.8378770664093453
 
+# Largest N for which the auto-dispatched whitening/smoothing materializes the
+# dense N x N temporal covariance: one Cholesky + a multi-RHS triangular solve
+# is a single fused MXU op and beats any scan at small N, while O(N^2) memory
+# caps it (2048^2 f32 = 16 MB, well inside VMEM-friendly HBM tiles).
+DENSE_N_MAX = 2048
+
 
 class DTCIntermediates(NamedTuple):
-    """Shared quantities between the objective and q(u)."""
+    """Whitened-Gram quantities shared between the objective and q(u).
 
-    alpha: jnp.ndarray  # (N,)   whitened residuals
-    A: jnp.ndarray  # (M, N) L_uu^-1 (W K_fu)^T
+    Every Sigma_y-dependence of the bound and of q(u) is through these — any
+    square root of Sigma^-1 (innovations whitener, dense Cholesky) produces
+    them identically."""
+
+    aa: jnp.ndarray  # scalar (y-m)^T Sigma^-1 (y-m)
+    g: jnp.ndarray  # (M,)   K_fu^T Sigma^-1 (y-m)
+    Gb: jnp.ndarray  # (M, M) K_fu^T Sigma^-1 K_fu
     L_uu: jnp.ndarray  # (M, M) chol(K_uu)
-    logdet_noise: jnp.ndarray  # scalar, log det Sigma_y from the scan
+    logdet_noise: jnp.ndarray  # scalar, log det Sigma_y
+
+
+def _gram_from_white(white):
+    """(N, M+1) whitened columns [alpha | beta] -> (aa, g, Gb)."""
+    alpha = white[:, 0]
+    beta = white[:, 1:]
+    return jnp.dot(alpha, alpha), beta.T @ alpha, beta.T @ beta
+
+
+def dense_whiten(time_kernel: Kernel, t, R, batch):
+    """Dense whitening backend: chol(K_time + diag(R)) + triangular solve.
+
+    Returns (white, logdet).  Mathematically identical to the Kalman
+    whitening (both are square roots of Sigma_y^-1); one MXU op at small N —
+    the size-dispatched fast path for the reference's EEG-scale workloads
+    (N=156, ``examples/eeg.jl:27-28``)."""
+    t = jnp.asarray(t)
+    R = jnp.broadcast_to(jnp.asarray(R, t.dtype), (t.shape[0],))
+    Sigma = time_kernel(t[:, None], t[:, None]) + jnp.diag(R)
+    L = jnp.linalg.cholesky(Sigma)
+    return solve_lower(L, batch), logdet_from_chol(L)
 
 
 @jax.default_matmul_precision("highest")
-def _whiten_all(out_kernel: Kernel, V, Z, lgssm: LGSSM, y, mean, uu_ridge, filter_fn=None):
-    """One batched Kalman pass whitening [y - mean | K_fu columns].
+def _whiten_all(
+    out_kernel: Kernel,
+    V,
+    Z,
+    lgssm: LGSSM,
+    y,
+    mean,
+    uu_ridge,
+    filter_fn=None,
+    *,
+    time_kernel=None,
+    t=None,
+):
+    """Whiten [y - mean | K_fu columns] and reduce to Gram form.
 
-    filter_fn: the Kalman filter implementation — ``kalman_filter``
-    (sequential scan, default), ``pkalman.parallel_filter`` (associative
-    scan, O(log N) depth; shardable over the time axis), or the string
-    ``"pallas"`` (blocked-scan TPU kernels, f32, fastest; inference-only —
-    no autodiff through the Pallas path yet)."""
-    if filter_fn == "pallas":
-        from gpar_at_scale_tpu.ops.pallas_whiten import pallas_whiten_columns
+    filter_fn selects the whitening engine:
+      * ``None`` — auto: ``"dense"`` when (time_kernel, t) are given and
+        N <= DENSE_N_MAX, else the sequential ``kalman_filter``.
+      * ``"dense"`` — chol(Sigma_y) backend (requires time_kernel + t).
+      * ``"pallas"`` — blocked-scan TPU kernels with the batched
+        disturbance-smoother VJP (differentiable; falls back to the
+        associative engine for state dim > 3).
+      * a callable — any ``(lgssm, Y) -> FilterResult`` (sequential,
+        associative, or mesh-sharded).
 
-        V = _as_2d(V)
-        Z = _as_2d(Z)
-        y = jnp.asarray(y)
-        m_ = Z.shape[0]
-        Kfu = out_kernel(V, Z)
-        Kuu = out_kernel(Z, Z)
-        if uu_ridge is not None:
-            Kuu = Kuu + uu_ridge * jnp.eye(m_, dtype=Kuu.dtype)
-        L_uu = cholesky_psd(Kuu)
-        batch = jnp.concatenate([(y - mean)[:, None], Kfu], axis=1)
-        interp = jax.default_backend() != "tpu"  # CPU fallback: interpret mode
-        _, white, logdet_noise = pallas_whiten_columns(lgssm, batch, interpret=interp)
-        white = white.astype(Kfu.dtype)
-        alpha = white[:, 0]
-        A = solve_lower(L_uu, white[:, 1:].T)
-        return DTCIntermediates(
-            alpha=alpha, A=A, L_uu=L_uu, logdet_noise=logdet_noise.astype(Kfu.dtype)
-        )
-    if filter_fn is None:
-        filter_fn = kalman_filter
+    uu_ridge: ridge added to K_uu before factorization.  ``"auto"`` (default
+    at the public entry points) uses mean(lgssm.R) — the reference's u
+    FiniteGP carries the observation noise (``src/gp/dtc.jl:35``), and the
+    ridge is REQUIRED for stability when inducing points coincide with
+    inputs and the out-lengthscale grows (K_uu approaches rank one).
+    """
     V = _as_2d(V)
     Z = _as_2d(Z)
     y = jnp.asarray(y)
@@ -100,18 +157,77 @@ def _whiten_all(out_kernel: Kernel, V, Z, lgssm: LGSSM, y, mean, uu_ridge, filte
 
     Kfu = out_kernel(V, Z)  # (N, M)
     Kuu = out_kernel(Z, Z)  # (M, M)
+    if uu_ridge == "auto":
+        uu_ridge = jnp.mean(lgssm.R)
     if uu_ridge is not None:
         Kuu = Kuu + uu_ridge * jnp.eye(m, dtype=Kuu.dtype)
-    L_uu = cholesky_psd(Kuu)
-
     batch = jnp.concatenate([(y - mean)[:, None], Kfu], axis=1)  # (N, M+1)
-    res = filter_fn(lgssm, batch)
-    white = res.v / jnp.sqrt(res.S)[:, None]  # (N, M+1)
-    alpha = white[:, 0]
-    beta = white[:, 1:]  # (N, M)
-    A = solve_lower(L_uu, beta.T)  # (M, N)
-    logdet_noise = jnp.sum(jnp.log(res.S))
-    return DTCIntermediates(alpha=alpha, A=A, L_uu=L_uu, logdet_noise=logdet_noise)
+
+    if filter_fn is None and time_kernel is not None:
+        if n <= DENSE_N_MAX:
+            filter_fn = "dense"
+        else:
+            # Large N: O(log N)-depth associative scan (time-shardable).
+            from gpar_at_scale_tpu.ssm.pkalman import parallel_filter
+
+            filter_fn = parallel_filter
+
+    if filter_fn == "dense":
+        if time_kernel is None or t is None:
+            raise ValueError("dense whitening requires time_kernel and t")
+        t_d = jnp.asarray(t, batch.dtype)
+        R = jnp.broadcast_to(jnp.asarray(lgssm.R, batch.dtype), (n,))
+        Sigma = time_kernel(t_d[:, None], t_d[:, None]) + jnp.diag(R)
+        from gpar_at_scale_tpu.utils.psd import add_jitter
+
+        if m == n:
+            # Pseudo-points == inputs (the reference's EEG setup,
+            # ``examples/eeg.jl:217-220``): factorize Sigma_y and K_uu in ONE
+            # batched Cholesky — small-matrix chol is latency-bound on TPU,
+            # so halving the sequential chol count matters at N~150.
+            Ls = jnp.linalg.cholesky(jnp.stack([Sigma, add_jitter(Kuu)]))
+            L, L_uu = Ls[0], Ls[1]
+        else:
+            L = jnp.linalg.cholesky(Sigma)
+            L_uu = cholesky_psd(Kuu)
+        white = solve_lower(L, batch)
+        logdet_noise = logdet_from_chol(L)
+        aa, g, Gb = _gram_from_white(white)
+    elif filter_fn == "pallas":
+        from gpar_at_scale_tpu.ops.pallas_grad import pallas_supported, whiten_gram
+
+        L_uu = cholesky_psd(Kuu)
+        if not pallas_supported(lgssm):
+            # Sum-of-Matern SDEs (d > 3 or H != e1) exceed the unrolled
+            # kernel algebra; dispatch to the associative engine.
+            from gpar_at_scale_tpu.ssm.pkalman import parallel_filter
+
+            res = parallel_filter(lgssm, batch)
+            white = res.v / jnp.sqrt(res.S)[:, None]
+            aa, g, Gb = _gram_from_white(white)
+            logdet_noise = jnp.sum(jnp.log(res.S))
+        else:
+            G, logdet_noise = whiten_gram(lgssm, batch)
+            G = G.astype(batch.dtype)
+            logdet_noise = logdet_noise.astype(batch.dtype)
+            aa, g, Gb = G[0, 0], G[1:, 0], G[1:, 1:]
+    else:
+        if filter_fn is None:
+            filter_fn = kalman_filter
+        L_uu = cholesky_psd(Kuu)
+        res = filter_fn(lgssm, batch)
+        white = res.v / jnp.sqrt(res.S)[:, None]  # (N, M+1)
+        aa, g, Gb = _gram_from_white(white)
+        logdet_noise = jnp.sum(jnp.log(res.S))
+
+    return DTCIntermediates(aa=aa, g=g, Gb=Gb, L_uu=L_uu, logdet_noise=logdet_noise)
+
+
+def _lam_chol(inter: DTCIntermediates):
+    """chol(A A^T + I) with A A^T = L_uu^-1 Gb L_uu^-T from the Gram form."""
+    AAt = solve_lower(inter.L_uu, solve_lower(inter.L_uu, inter.Gb).T)
+    Lam = AAt + jnp.eye(AAt.shape[0], dtype=AAt.dtype)
+    return jnp.linalg.cholesky(0.5 * (Lam + Lam.T))
 
 
 @jax.default_matmul_precision("highest")
@@ -122,25 +238,34 @@ def dtc_objective(
     Z,
     y,
     mean=0.0,
-    uu_ridge: Optional[float] = None,
+    uu_ridge="auto",
     filter_fn=None,
+    *,
+    time_kernel=None,
+    t=None,
 ):
     """The DTC evidence bound (``compute_gpar_dtc_objective``,
     ``src/gp/dtc.jl:83-128``), O(N M^2) with O(N (M+1)) filter work.
 
-    uu_ridge: optional ridge added to K_uu before factorization.  The
-    reference adds the observation noise s2 here (its FiniteGP u carries
-    noise, ``src/gp/dtc.jl:35``) but not in q(u) — pass ``noise_var`` to
-    replicate; default None uses the engine-wide relative jitter only.
+    uu_ridge: ridge added to K_uu before factorization.  The reference adds
+    the observation noise s2 here (its FiniteGP u carries noise,
+    ``src/gp/dtc.jl:35``); the default ``"auto"`` replicates that with
+    mean(lgssm.R).  Pass None to disable (engine-wide relative jitter only —
+    unstable when inducing points == inputs; see CLAUDE.md numerics notes).
+
+    time_kernel, t: optional dense-whitening context — when given and
+    N <= DENSE_N_MAX the whitening runs as one chol + triangular solve on
+    the MXU instead of a scan (see ``_whiten_all``).
     """
-    inter = _whiten_all(out_kernel, V, Z, time_lgssm, y, mean, uu_ridge, filter_fn)
+    inter = _whiten_all(
+        out_kernel, V, Z, time_lgssm, y, mean, uu_ridge, filter_fn,
+        time_kernel=time_kernel, t=t,
+    )
     n = jnp.shape(jnp.asarray(y))[0]
-    Lam = inter.A @ inter.A.T + jnp.eye(inter.A.shape[0], dtype=inter.A.dtype)
-    L_lam = jnp.linalg.cholesky(Lam)
-    Aalpha = inter.A @ inter.alpha
-    w = solve_lower(L_lam, Aalpha)
+    L_lam = _lam_chol(inter)
+    w = solve_lower(L_lam, solve_lower(inter.L_uu, inter.g))
     logdet_lam = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_lam)))
-    quad = jnp.sum(inter.alpha**2) - jnp.sum(w**2)
+    quad = inter.aa - jnp.sum(w**2)
     return -0.5 * (n * _LOG_2PI + inter.logdet_noise + logdet_lam + quad)
 
 
@@ -168,20 +293,50 @@ def compute_q_u(
     Z,
     y,
     mean=0.0,
-    uu_ridge: Optional[float] = None,
+    uu_ridge="auto",
     filter_fn=None,
+    *,
+    time_kernel=None,
+    t=None,
 ) -> QU:
     """Closed-form whitened posterior over inducing points.
 
     Unlike the reference (K4), the prior mean is subtracted from y here too
     (``src/gp/gpar_scaled_inference.jl:182`` TODO)."""
-    inter = _whiten_all(out_kernel, V, Z, time_lgssm, y, mean, uu_ridge, filter_fn)
-    M = inter.A.shape[0]
-    D = inter.A @ inter.A.T + jnp.eye(M, dtype=inter.A.dtype)
-    L_D = jnp.linalg.cholesky(D)
-    # m_eps = D^-1 A alpha via two triangular solves.
-    m_eps = solve_upper(L_D, solve_lower(L_D, inter.A @ inter.alpha))
+    inter = _whiten_all(
+        out_kernel, V, Z, time_lgssm, y, mean, uu_ridge, filter_fn,
+        time_kernel=time_kernel, t=t,
+    )
+    L_D = _lam_chol(inter)  # D = A A^T + I
+    # m_eps = D^-1 A alpha via two triangular solves; A alpha = L_uu^-1 g.
+    m_eps = cho_solve(L_D, solve_lower(inter.L_uu, inter.g))
     return QU(m_eps=m_eps, L_D=L_D, L_uu=inter.L_uu, Z=_as_2d(Z))
+
+
+class _DenseSmooth(NamedTuple):
+    mean: jnp.ndarray  # (N, B) posterior means of f_t per column
+    var: jnp.ndarray  # (N,)   posterior marginal variances
+
+
+def _dense_smoother(time_kernel: Kernel, t_s, noise_s):
+    """Dense equivalent of the RTS smoother over the spliced series: standard
+    GP conditioning E[f] = K (K + diag(noise))^-1 y, Var[f] = diag(K - K
+    (K+D)^-1 K).  The infinite-noise test points (1e10 diag) make Sigma
+    diagonally dominant there, so the Cholesky is well-conditioned.  One MXU
+    chol + two matmuls — the serving fast path at N_all <= DENSE_N_MAX."""
+
+    def smooth(lgssm, cols):
+        del lgssm  # same temporal posterior, computed densely
+        t2 = t_s[:, None]
+        K = time_kernel(t2, t2)
+        Sigma = K + jnp.diag(jnp.broadcast_to(noise_s, (t_s.shape[0],)))
+        L = jnp.linalg.cholesky(Sigma)
+        W = solve_lower(L, K)  # (N, N): W^T W = K Sigma^-1 K
+        mean = W.T @ solve_lower(L, cols)
+        var = time_kernel.diag_part(t2) - jnp.sum(W * W, axis=0)
+        return _DenseSmooth(mean=mean, var=jnp.maximum(var, 0.0))
+
+    return smooth
 
 
 class ScaledPrediction(NamedTuple):
@@ -227,12 +382,13 @@ def predict_scaled(
     reference's MC estimate is reproduced (plus the E[P] term), batched into
     a single smoothing pass over all samples.
 
-    smooth_fn: RTS smoother implementation — ``rts_smooth`` (sequential,
-    default), ``pkalman.parallel_smooth`` (associative scan, O(log N) depth)
-    or a mesh-sharded smoother from ``parallel.seqshard``.
+    smooth_fn: RTS smoother implementation — ``None`` (auto: dense GP
+    conditioning when N_all <= DENSE_N_MAX, else the sequential scan),
+    ``"dense"``, ``rts_smooth``, ``pkalman.parallel_smooth`` (associative
+    scan, O(log N) depth) or a mesh-sharded smoother from
+    ``parallel.seqshard``.  All compute the same temporal posterior; the
+    dense backend is one chol + matmuls on the MXU (the serving fast path).
     """
-    if smooth_fn is None:
-        smooth_fn = rts_smooth
     V = _as_2d(V)
     V_star = _as_2d(V_star)
     t = jnp.asarray(t, dtype)
@@ -253,6 +409,11 @@ def predict_scaled(
     V_s = V_all[order]
     y_s = y_all[order]
     noise_s = noise_all[order]
+
+    if smooth_fn is None:
+        smooth_fn = "dense" if (n + n_star) <= DENSE_N_MAX else rts_smooth
+    if smooth_fn == "dense":
+        smooth_fn = _dense_smoother(time_kernel, t_s, noise_s)
 
     lgssm = lgssm_of(time_kernel, t_s, noise_s, dtype)
 

@@ -38,8 +38,13 @@ def make_conditional_logpost(
     out_family=Matern52,
     prior_scale: float = 2.0,
     dtype=jnp.float64,
+    uu_ridge="auto",
 ) -> Callable:
-    """Log-posterior over the (5,) log-params of one conditional GP."""
+    """Log-posterior over the (5,) log-params of one conditional GP.
+
+    uu_ridge: forwarded to ``dtc_objective`` — pass None for the un-ridged
+    bound (exact Z->V equality with the additive-kernel likelihood, the
+    north-star posterior-parity configuration)."""
     t = jnp.asarray(t, dtype)
     order = jnp.argsort(t)
     t_s = t[order]
@@ -61,7 +66,14 @@ def make_conditional_logpost(
         time_k = time_kernel_only(time_family, tl, ts)
         out_k = out_family(lengthscale=ol, variance=osig**2)
         lgssm = lgssm_of(time_k, t_s, ns**2, dtype)
-        return dtc_objective(out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2) + prior
+        ridge = ns**2 if uu_ridge == "auto" else uu_ridge
+        return (
+            dtc_objective(
+                out_k, lgssm, X_s, Z, y_s, uu_ridge=ridge,
+                time_kernel=time_k, t=t_s,  # size-dispatched dense whitening
+            )
+            + prior
+        )
 
     return logpost
 

@@ -58,17 +58,35 @@ class GPARConfig:
     max_opt_steps: int = 200
     optimizer: str = "lbfgs"  # 'lbfgs' | 'adam'
     dtype: Any = jnp.float64
-    # 'sequential' | 'associative' (O(log N) depth) | 'pallas' (blocked-scan
-    # TPU kernels: temporal NLML gradients via the disturbance-smoother VJP;
-    # the DTC bound optimizes through the associative filter and switches to
-    # the Pallas whitening kernel for the post-fit q(u)/predictions)
-    filter_impl: str = "sequential"
+    # Whitening/filter engine for the scaled backend:
+    #   'auto'        — dense chol(Sigma_y) when N <= gp.dtc.DENSE_N_MAX
+    #                   (one MXU op — fastest at EEG scale), associative scan
+    #                   beyond (O(log N) depth).
+    #   'dense'       — force the dense backend.
+    #   'sequential'  — lax.scan Kalman filter (numerical oracle).
+    #   'associative' — associative-scan filter.
+    #   'pallas'      — blocked-scan TPU kernels; trains end-to-end via the
+    #                   batched disturbance-smoother VJP (ops/pallas_grad).
+    filter_impl: str = "auto"
 
 
 def _minimize(cfg: GPARConfig, fun, x0) -> OptResult:
     if cfg.optimizer == "adam":
         return minimize_adam(fun, x0, max_steps=cfg.max_opt_steps)
     return minimize_lbfgs(fun, x0, max_steps=cfg.max_opt_steps)
+
+
+def _filter_fn_of(cfg: GPARConfig):
+    """Map GPARConfig.filter_impl to gp.dtc's filter_fn argument."""
+    from gpar_at_scale_tpu.ssm.kalman import kalman_filter
+
+    return {
+        "auto": None,  # dense if small (context is always passed), else scan
+        "dense": "dense",
+        "sequential": kalman_filter,
+        "associative": parallel_filter,
+        "pallas": "pallas",
+    }[cfg.filter_impl]
 
 
 # ---------------------------------------------------------------------------
@@ -243,6 +261,7 @@ def fit_conditional(key, t, X_prev, y, cfg: GPARConfig, init_params=None) -> Fit
     order = jnp.argsort(t)
     t_s, X_s, y_s = t[order], X_prev[order], y[order]
     Z = _select_pseudo_points(X_s, cfg.num_pseudo_points)
+    f_impl = _filter_fn_of(cfg)
 
     def nlml(p):
         tl, ts, ol, osig, ns = unpack_gpar(p)
@@ -252,23 +271,20 @@ def fit_conditional(key, t, X_prev, y, cfg: GPARConfig, init_params=None) -> Fit
         # uu_ridge = s2 mirrors the reference (its FiniteGP u carries the
         # observation noise, src/gp/dtc.jl:35) and keeps chol(K_uu) stable
         # when the out-lengthscale grows and K_uu approaches rank one.
-        # 'pallas' optimizes through the associative filter (the whitening
-        # kernel has no autodiff path) and uses Pallas post-fit below.
-        f_impl = parallel_filter if cfg.filter_impl in ("associative", "pallas") else None
-        return -dtc_objective(out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2, filter_fn=f_impl)
+        return -dtc_objective(
+            out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2, filter_fn=f_impl,
+            time_kernel=time_k, t=t_s,
+        )
 
     res = _minimize(cfg, nlml, x0)
     tl, ts, ol, osig, ns = unpack_gpar(res.params)
     time_k = time_kernel_only(cfg.time_family, tl, ts)
     out_k = cfg.out_family(lengthscale=ol, variance=osig**2)
     lgssm = lgssm_of(time_k, t_s, ns**2, cfg.dtype)
-    if cfg.filter_impl == "pallas":
-        f_impl = "pallas"
-    elif cfg.filter_impl == "associative":
-        f_impl = parallel_filter
-    else:
-        f_impl = None
-    qu = compute_q_u(out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2, filter_fn=f_impl)
+    qu = compute_q_u(
+        out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2, filter_fn=f_impl,
+        time_kernel=time_k, t=t_s,
+    )
     return FittedConditional(
         params=res.params,
         cfg=cfg,
@@ -315,12 +331,31 @@ class FittedGPAR:
         return [self.first.hyperparams()] + [c.hyperparams() for c in self.conditionals]
 
 
-def fit_gpar(key, t, Y, cfg: GPARConfig = GPARConfig(), init_params: Optional[Sequence] = None) -> FittedGPAR:
+def fit_gpar(
+    key,
+    t,
+    Y,
+    cfg: GPARConfig = GPARConfig(),
+    init_params: Optional[Sequence] = None,
+    *,
+    parallel: bool = False,
+    mesh=None,
+    mesh_axis: str = "chain",
+) -> FittedGPAR:
     """Fit the whole chain: output 1 on time, output i on (t, y_1..y_{i-1}).
 
     Equivalent of looping ``create_optim_gpar_post`` over outputs
     (``examples/eeg.jl:212-236``) / the scaled pipeline
     (``examples/GPAR_scaled_examples.jl:86-216``).
+
+    parallel=True fits all P-1 conditionals CONCURRENTLY: training of
+    conditional i depends only on observed data (t, y_1..y_{i-1}, y_i) — only
+    *prediction* is sequential down the chain
+    (``GPAR_examples/toy_example.jl:118-135``).  The conditionals are vmapped
+    over a zero-padded feature stack (stationary kernels ignore constant-zero
+    padded dims: their pairwise distances are unchanged), batching all P-1
+    optimizations into one MXU-friendly program; pass ``mesh`` to shard the
+    conditional axis over devices (EP-style placement, SURVEY §2c).
     """
     t = jnp.asarray(t, cfg.dtype)
     Y = jnp.asarray(Y, cfg.dtype)
@@ -329,8 +364,129 @@ def fit_gpar(key, t, Y, cfg: GPARConfig = GPARConfig(), init_params: Optional[Se
     init_params = init_params or [None] * P
 
     first = fit_first_output(keys[0], t, Y[:, 0], cfg, init_params[0])
+    if parallel and P > 2:
+        conditionals = fit_conditionals_parallel(
+            keys[1:], t, Y, cfg, init_params[1:], mesh=mesh, mesh_axis=mesh_axis
+        )
+    else:
+        conditionals = [
+            fit_conditional(keys[i], t, Y[:, :i], Y[:, i], cfg, init_params[i])
+            for i in range(1, P)
+        ]
+    return FittedGPAR(first=first, conditionals=conditionals)
+
+
+def fit_conditionals_parallel(
+    keys,
+    t,
+    Y,
+    cfg: GPARConfig,
+    init_params: Optional[Sequence] = None,
+    *,
+    mesh=None,
+    mesh_axis: str = "chain",
+) -> List[FittedConditional]:
+    """Fit conditionals 2..P concurrently (scaled backend: DTC bound; exact
+    backend: dense NLML), vmapped over a zero-padded feature stack.
+
+    Width-padding correctness: conditional i sees features (y_1..y_{i-1}, 0,
+    ..., 0) in both V and Z, so every pairwise squared distance — the only
+    thing stationary kernels consume — is identical to the unpadded problem.
+
+    With ``mesh`` and (P-1) divisible by the ``mesh_axis`` size, the stacked
+    conditional axis is device-sharded, so each device group optimizes its
+    own subset — wall-clock ~flat in P (VERDICT r1 item 5).
+    """
+    t = jnp.asarray(t, cfg.dtype)
+    Y = jnp.asarray(Y, cfg.dtype)
+    n, P = Y.shape
+    width = P - 1
+    order = jnp.argsort(t)
+    t_s, Y_s = t[order], Y[order]
+
+    Xs = jnp.stack(
+        [
+            jnp.concatenate([Y_s[:, :i], jnp.zeros((n, width - i), cfg.dtype)], axis=1)
+            for i in range(1, P)
+        ]
+    )  # (P-1, N, width)
+    ys = Y_s[:, 1:].T  # (P-1, N)
+    if cfg.backend == "scaled":
+        m = min(cfg.num_pseudo_points, n)
+        idx = (
+            jnp.linspace(0, n - 1, m).astype(jnp.int32) if m < n else jnp.arange(n)
+        )  # same stride per conditional (matches _select_pseudo_points)
+        Zs = Xs[:, idx, :]
+    else:
+        Zs = Xs[:, :1, :]  # placeholder (unused by the exact branch)
+
+    if init_params is not None and any(p is not None for p in init_params):
+        x0s = jnp.stack(
+            [jnp.asarray(p, cfg.dtype) for p in init_params]
+        )
+    else:
+        x0s = jax.vmap(init_gpar_params)(jnp.asarray(keys))
+    x0s = x0s.astype(cfg.dtype)
+
+    f_impl = _filter_fn_of(cfg)
+    input_dim = 1 + width
+
+    def nlml(p, Xp, Zp, yp):
+        tl, ts, ol, osig, ns = unpack_gpar(p)
+        if cfg.backend == "exact":
+            k = gpar_kernel(cfg.time_family, cfg.out_family, input_dim, tl, ts, ol, osig)
+            Xfull = jnp.concatenate([t_s[:, None], Xp], axis=1)
+            return exact_gp.nlml(k, Xfull, yp, ns**2)
+        time_k = time_kernel_only(cfg.time_family, tl, ts)
+        out_k = cfg.out_family(lengthscale=ol, variance=osig**2)
+        lgssm = lgssm_of(time_k, t_s, ns**2, cfg.dtype)
+        return -dtc_objective(
+            out_k, lgssm, Xp, Zp, yp, uu_ridge=ns**2, filter_fn=f_impl,
+            time_kernel=time_k, t=t_s,
+        )
+
+    def one(x0, Xp, Zp, yp):
+        res = _minimize(cfg, lambda p: nlml(p, Xp, Zp, yp), x0)
+        if cfg.backend == "exact":
+            return res.params, None
+        tl, ts, ol, osig, ns = unpack_gpar(res.params)
+        time_k = time_kernel_only(cfg.time_family, tl, ts)
+        out_k = cfg.out_family(lengthscale=ol, variance=osig**2)
+        lgssm = lgssm_of(time_k, t_s, ns**2, cfg.dtype)
+        qu = compute_q_u(
+            out_k, lgssm, Xp, Zp, yp, uu_ridge=ns**2, filter_fn=f_impl,
+            time_kernel=time_k, t=t_s,
+        )
+        return res.params, (qu.m_eps, qu.L_D, qu.L_uu)
+
+    run = jax.jit(jax.vmap(one))
+    if mesh is not None and (P - 1) % mesh.shape[mesh_axis] == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as Ps
+
+        shard = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+        x0s = shard(x0s, Ps(mesh_axis, None))
+        Xs = shard(Xs, Ps(mesh_axis, None, None))
+        Zs = shard(Zs, Ps(mesh_axis, None, None))
+        ys = shard(ys, Ps(mesh_axis, None))
+    params_all, qu_all = run(x0s, Xs, Zs, ys)
+
     conditionals = []
     for i in range(1, P):
-        cond = fit_conditional(keys[i], t, Y[:, :i], Y[:, i], cfg, init_params[i])
+        j = i - 1
+        X_prev = Y_s[:, :i]
+        if cfg.backend == "exact":
+            cond = FittedConditional(
+                params=params_all[j], cfg=cfg, t=t_s, X_prev=X_prev,
+                y=Y_s[:, i], backend="exact",
+            )
+        else:
+            Z_i = Zs[j][:, :i]  # drop zero padding
+            qu = QU(
+                m_eps=qu_all[0][j], L_D=qu_all[1][j], L_uu=qu_all[2][j], Z=Z_i
+            )
+            cond = FittedConditional(
+                params=params_all[j], cfg=cfg, t=t_s, X_prev=X_prev,
+                y=Y_s[:, i], backend="scaled", Z=Z_i, qu=qu,
+            )
         conditionals.append(cond)
-    return FittedGPAR(first=first, conditionals=conditionals)
+    return conditionals

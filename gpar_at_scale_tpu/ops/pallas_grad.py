@@ -50,7 +50,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate
+from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate, pallas_supported
 from gpar_at_scale_tpu.ops.pallas_smoother import (
     _bmm,
     _bmmT,
@@ -135,13 +135,183 @@ lgssm_loglik.defvjp(_fwd, _bwd)
 def logpdf_markov_pallas(kernel, t, noise_var, y):
     """Differentiable end-to-end: kernel hyperparams -> discretize (XLA
     autodiff) -> blocked-scan filter ll (disturbance-smoother custom VJP).
-    f32, d <= 3."""
+    f32.  State dims > 3 (Matern-sum SDEs, ``src/gp/optimized.jl:132-144``
+    analogues) dispatch to the associative-scan engine transparently."""
     from gpar_at_scale_tpu.ssm.markov import lgssm_of
 
     lgssm = lgssm_of(kernel, jnp.asarray(t, jnp.float32), noise_var, jnp.float32)
+    if not pallas_supported(lgssm):
+        from gpar_at_scale_tpu.ssm.pkalman import parallel_logpdf
+
+        return parallel_logpdf(lgssm, jnp.asarray(y, jnp.float32))
     return lgssm_loglik(
         lgssm.A.astype(jnp.float32),
         lgssm.Q.astype(jnp.float32),
         lgssm.R.astype(jnp.float32),
         jnp.asarray(y, jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched whitened-Gram VJP — the differentiable DTC training path.
+#
+# The DTC bound consumes Sigma_y only through the whitened Gram
+#     G = U^T Sigma^-1 U,  U = [y - m | K_fu]  (N, B)
+# and logdet Sigma.  Writing sym(ct_G) = sum_s lambda_s w_s w_s^T, the
+# chain rule needs sum_s lambda_s * grad_theta[(U w_s)^T Sigma^-1 (U w_s)]
+# — and every per-column backward quantity (innovation e, filtered mean m,
+# adjoint state r, observation disturbance u) is LINEAR in the column, so
+# the weighted sums collapse to Gram-style contractions of the UNROTATED
+# column stack with sym(ct_G): no eigendecomposition, no per-eigencolumn
+# passes.  With r_k (d, B) the batched adjoint recursion
+#     r_k = C_k r_{k+1} + H^T e_k / S_k,   C_k = (A_{k+1}(I - K_k H))^T
+# and N_k the (shared) information recursion, the exact cotangents are
+#
+#     ct_Q_k = -R2_k + ct_ld N_k,            R2_k = r_k ct_sym r_k^T
+#     ct_A_k = -2 (R2_k A_k P_{k-1} + Rm_k) + 2 ct_ld N_k A_k P_{k-1},
+#              Rm_k = r_k ct_sym m_{k-1}^T
+#     ct_R_k = -u_k ct_sym u_k^T + ct_ld D_k
+#     ct_U   = 2 u ct_sym                    (u_k = Sigma^-1 U row k)
+#
+# derived from dQf(z)/dQ_k = -r r^T (quadratic form z^T Sigma^-1 z; the N_k
+# terms of the per-column ll gradients cancel against the logdet part) and
+# d logdet / dQ_k = N_k etc.  Forward runs the blocked-scan Pallas kernels;
+# backward is two batched affine scans + one congruence scan
+# (associative_scan, O(log N) depth) + MXU contractions.
+# ---------------------------------------------------------------------------
+
+
+def _e1(d):
+    return jnp.zeros((d,), jnp.float32).at[0].set(1.0)
+
+
+def _affine_scan_fwd(M, c):
+    """x_k = M_k x_{k-1} + c_k with x_{-1} = 0; M (N,d,d), c (N,d,B)."""
+
+    def comb(i, j):  # i earlier, j later
+        Mi, ci = i
+        Mj, cj = j
+        return _bmm(Mj, Mi), jnp.einsum("...ab,...bB->...aB", Mj, ci) + cj
+
+    _, x = jax.lax.associative_scan(comb, (M, c), axis=0)
+    return x
+
+
+def _affine_scan_rev(C, b):
+    """r_k = C_k r_{k+1} + b_k with r_N = 0; C (N,d,d), b (N,d,B)."""
+
+    def comb(later, earlier):
+        Cl, bl = later
+        Ce, be = earlier
+        return _bmm(Ce, Cl), jnp.einsum("...ab,...bB->...aB", Ce, bl) + be
+
+    _, r = jax.lax.associative_scan(comb, (C, b), axis=0, reverse=True)
+    return r
+
+
+def _congruence_scan_rev(C, W):
+    """N_k = W_k + C_k N_{k+1} C_k^T with N_N = 0; C, W (N,d,d)."""
+
+    def comb(later, earlier):
+        Cl, Wl = later
+        Ce, We = earlier
+        return _bmm(Ce, Cl), _bmm(Ce, _bmmT(Wl, Ce)) + We
+
+    _, N = jax.lax.associative_scan(comb, (C, W), axis=0, reverse=True)
+    return N
+
+
+@jax.custom_vjp
+def _whiten_gram_p(A, Q, R, U):
+    """(G, logdet) = (U^T Sigma^-1 U, logdet Sigma) via the blocked-scan
+    whitening kernel; f32, d <= 3, H = e1^T."""
+    from gpar_at_scale_tpu.ops.pallas_whiten import pallas_whiten_columns
+
+    lgssm = LGSSM(A=A, Q=Q, H=_e1(A.shape[-1]), R=R)
+    interp = jax.default_backend() != "tpu"
+    _, white, logdet = pallas_whiten_columns(lgssm, U, interpret=interp)
+    with jax.default_matmul_precision("highest"):
+        G = white.T @ white
+    return G, logdet
+
+
+def _wg_fwd(A, Q, R, U):
+    from gpar_at_scale_tpu.ops.pallas_whiten import pallas_whiten_columns
+
+    lgssm = LGSSM(A=A, Q=Q, H=_e1(A.shape[-1]), R=R)
+    interp = jax.default_backend() != "tpu"
+    _, white, logdet, S, K, P = pallas_whiten_columns(
+        lgssm, U, interpret=interp, return_aux=True
+    )
+    with jax.default_matmul_precision("highest"):
+        G = white.T @ white
+    return (G, logdet), (A, Q, R, U, white, S, K, P)
+
+
+def _wg_bwd(res, cts):
+    A, Q, R, U, white, S, K, P = res
+    ct_G, ct_ld = cts
+    f32 = jnp.float32
+    n, d = K.shape
+    e1 = _e1(d)
+    with jax.default_matmul_precision("highest"):
+        ctsym = 0.5 * (ct_G + ct_G.T).astype(f32)
+        ct_ld = jnp.asarray(ct_ld, f32)
+
+        e = white * jnp.sqrt(S)[:, None]  # innovations (N, B)
+        ImKH = jnp.eye(d, dtype=f32)[None] - K[:, :, None] * e1[None, None, :]
+        M = _bmm(ImKH, A)  # (I - K H) A: the mean-recursion transition
+        A_next = jnp.concatenate([A[1:], jnp.zeros((1, d, d), f32)])
+        C = jnp.swapaxes(_bmm(A_next, ImKH), -1, -2)  # (A_{k+1}(I-KH))^T
+
+        # Per-column filtered means (linear in U): m_k = M_k m_{k-1} + K_k u_k.
+        cvec = K[:, :, None] * U.astype(f32)[:, None, :]  # (N, d, B)
+        m = _affine_scan_fwd(M, cvec)
+        m_prev = jnp.concatenate([jnp.zeros_like(m[:1]), m[:-1]])
+
+        # Batched adjoint state and shared information recursion.
+        b = e1[None, :, None] * (e / S[:, None])[:, None, :]  # (N, d, B)
+        r = _affine_scan_rev(C, b)
+        W = (1.0 / S)[:, None, None] * (e1[:, None] * e1[None, :])[None]
+        Nmat = _congruence_scan_rev(C, W)
+
+        r_next = jnp.concatenate([r[1:], jnp.zeros_like(r[:1])])
+        N_next = jnp.concatenate([Nmat[1:], jnp.zeros_like(Nmat[:1])])
+        AK = _bmv(A_next, K)  # A_{k+1} K_k  (N, d)
+        u = e / S[:, None] - jnp.einsum("nd,ndB->nB", AK, r_next)  # Sigma^-1 U
+        D = 1.0 / S + jnp.einsum("nd,nde,ne->n", AK, N_next, AK)
+
+        P_prev = jnp.concatenate([jnp.zeros((1, d, d), f32), P[:-1]])
+        AP = _bmm(A, P_prev)
+
+        R2 = jnp.einsum("nib,bc,njc->nij", r, ctsym, r)
+        Rm = jnp.einsum("nib,bc,njc->nij", r, ctsym, m_prev)
+        ct_A = -2.0 * (_bmm(R2, AP) + Rm) + (2.0 * ct_ld) * _bmm(Nmat, AP)
+        ct_Q = -R2 + ct_ld * Nmat
+        ct_R = -jnp.einsum("nb,bc,nc->n", u, ctsym, u) + ct_ld * D
+        ct_U = 2.0 * (u @ ctsym)
+    return (
+        ct_A.astype(A.dtype),
+        ct_Q.astype(Q.dtype),
+        ct_R.astype(R.dtype),
+        ct_U.astype(U.dtype),
+    )
+
+
+_whiten_gram_p.defvjp(_wg_fwd, _wg_bwd)
+
+
+def whiten_gram(lgssm: LGSSM, U):
+    """Differentiable whitened Gram through the Pallas blocked-scan kernels:
+    (G, logdet) with G = U^T Sigma_y^-1 U — the whole Sigma_y-dependence of
+    the DTC bound (``src/gp/dtc.jl:106-125``) and of q(u)
+    (``src/gp/gpar_scaled_inference.jl:170-189``).  f32 compute; composes
+    with XLA autodiff into the kernel hyperparameters via
+    ``ssm.markov.discretize``.  Callers must check ``pallas_supported``."""
+    f32 = jnp.float32
+    return _whiten_gram_p(
+        lgssm.A.astype(f32),
+        lgssm.Q.astype(f32),
+        lgssm.R.astype(f32),
+        jnp.asarray(U, f32),
     )

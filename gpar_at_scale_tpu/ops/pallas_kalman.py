@@ -311,6 +311,49 @@ def _flatten_mat(x):
     return x.reshape(T, d * d, s, l)
 
 
+def pallas_supported(lgssm: LGSSM) -> bool:
+    """The blocked-scan kernels unroll d <= 3 algebra and hard-code the
+    emission row H = e1^T (single Matern block).  Sum-of-Matern SDEs
+    (block-diagonal state, H = [1,0,...,1,0,...]) must dispatch to the
+    associative engine — including d <= 3 sums like Matern12+Matern12.
+    H never depends on traced hyperparameters (it is assembled from
+    constants in ``ssm/markov.py``), so this check is static under jit; a
+    traced H conservatively returns False."""
+    if lgssm.dim > 3:
+        return False
+    H = lgssm.H
+    if isinstance(H, jax.core.Tracer):
+        return False
+    import numpy as np
+
+    h = np.asarray(H)
+    return bool(h[0] == 1.0 and np.all(h[1:] == 0.0))
+
+
+def _decorrelate_fallback(lgssm: LGSSM, y, return_gains, return_moments, return_full):
+    """Associative-scan implementation of the ``pallas_decorrelate``
+    contract for SDEs the unrolled kernels cannot express (sum kernels:
+    d > 3 or H != e1) — graceful dispatch instead of a ValueError."""
+    from gpar_at_scale_tpu.ssm.pkalman import parallel_filter
+
+    res = parallel_filter(lgssm, jnp.asarray(y, jnp.float32))
+    S = res.S
+    alpha = res.v[:, 0] / jnp.sqrt(S)
+    ll = res.ll[0]
+    logdet = jnp.sum(jnp.log(S))
+    if return_moments or return_full:
+        m = res.m[:, :, 0]
+        P = res.P
+        if not return_full:
+            return ll, alpha, logdet, m, P
+    if not (return_gains or return_full):
+        return ll, alpha, logdet
+    K = jnp.einsum("nij,j->ni", res.Pp, lgssm.H.astype(res.Pp.dtype)) / S[:, None]
+    if return_full:
+        return ll, alpha, logdet, S, K, m, P
+    return ll, alpha, logdet, S, K
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "return_gains", "return_moments", "return_full"),
@@ -325,7 +368,9 @@ def pallas_decorrelate(
 ):
     """Whitening pass (ll, alpha, sum log S) via the blocked-scan kernel.
 
-    f32, single observation column.  Requires d <= 3 (Matern 1/2, 3/2, 5/2).
+    f32, single observation column.  Single-block Matern SDEs (d <= 3,
+    H = e1) run the Pallas kernels; sum-kernel SDEs dispatch to the
+    associative-scan engine with the same contract.
     With ``return_gains=True`` additionally returns the per-step innovation
     variances S (N,) and Kalman gains K (N, d) — consumed by the batched
     column-whitening kernel (``ops/pallas_whiten.py``).  With
@@ -335,8 +380,8 @@ def pallas_decorrelate(
     disturbance-smoother VJP (``ops/pallas_grad.py``) consumes everything.
     """
     d = lgssm.dim
-    if d > 3:
-        raise ValueError("pallas_decorrelate supports state dim <= 3")
+    if not pallas_supported(lgssm):
+        return _decorrelate_fallback(lgssm, y, return_gains, return_moments, return_full)
     n = lgssm.num_steps
     f32 = jnp.float32
 

@@ -349,10 +349,25 @@ def pallas_smooth(lgssm: LGSSM, y, interpret: bool = False, return_state: bool =
 
     With ``return_state=True`` additionally returns the full smoothed state
     moments ms (N, d), Ps (N, d, d) and the smoother gains E (N, d, d)
-    (E[k] maps step k+1's smoothed moments back to step k)."""
+    (E[k] maps step k+1's smoothed moments back to step k).
+
+    Sum-kernel SDEs (d > 3 or H != e1) dispatch to the associative-scan
+    smoother with the same contract."""
     d = lgssm.dim
     n = lgssm.num_steps
     f32 = jnp.float32
+
+    from gpar_at_scale_tpu.ops.pallas_kalman import pallas_supported
+
+    if not pallas_supported(lgssm):
+        from gpar_at_scale_tpu.ssm.pkalman import parallel_smooth
+
+        sm = parallel_smooth(lgssm, jnp.asarray(y, f32))
+        if not return_state:
+            return sm.mean, sm.var, sm.ll[0]
+        # Smoother gains are internal to the associative combine; callers
+        # using return_state consume (ms, Ps) — return zeros for E.
+        return sm.mean, sm.var, sm.ll[0], sm.ms[:, :, 0], sm.Ps, jnp.zeros_like(sm.Ps)
 
     # ---- phase F: forward filter with moments ---------------------------
     ll, _alpha, _logdet, m, P = pallas_decorrelate(

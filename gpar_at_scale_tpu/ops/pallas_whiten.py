@@ -88,12 +88,16 @@ def _whiten_kernel(d, CHUNK, unroll, gains_ref, y_ref, alpha_ref, ll_ref, m_scra
         ll_ref[0] = ll_scratch[...]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_whiten_columns(lgssm: LGSSM, Y, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "return_aux"))
+def pallas_whiten_columns(lgssm: LGSSM, Y, interpret: bool = False, return_aux: bool = False):
     """Batched whitening: Y (N, B) -> (ll (B,), alpha (N, B), logdet).
 
     f32; d <= 3.  Gains come from the blocked-scan filter (2 passes), the
     column sweep is one more pass with columns in the vector lanes.
+
+    return_aux=True additionally returns (S (N,), K (N, d), P (N, d, d)) —
+    the per-step innovation variances, gains, and filtered covariances the
+    batched disturbance-smoother VJP consumes (``ops/pallas_grad.py``).
     """
     d = lgssm.dim
     n = lgssm.num_steps
@@ -105,8 +109,8 @@ def pallas_whiten_columns(lgssm: LGSSM, Y, interpret: bool = False):
     CHUNK = globals()["CHUNK"]
 
     # --- per-step gains from the lane-parallel filter (y = 0) -------------
-    _, _, logdet, S, K = pallas_decorrelate(
-        lgssm, jnp.zeros((n,), f32), return_gains=True, interpret=interpret
+    _, _, logdet, S, K, _, P_filt = pallas_decorrelate(
+        lgssm, jnp.zeros((n,), f32), return_full=True, interpret=interpret
     )
     A = lgssm.A.astype(f32)
     M = A - K[:, :, None] * A[:, None, 0, :]  # (I - K H) A
@@ -174,4 +178,6 @@ def pallas_whiten_columns(lgssm: LGSSM, Y, interpret: bool = False):
         .reshape(n_chunks * CHUNK, col_tiles * COLS)[:n, :B]
     )
     ll = ll_l.reshape(col_tiles * COLS)[:B]
+    if return_aux:
+        return ll, alpha, logdet, S, K, P_filt
     return ll, alpha, logdet

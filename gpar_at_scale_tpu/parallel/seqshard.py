@@ -92,7 +92,10 @@ def _block_filter(axis, nblocks, A_b, Q_b, R_b, H_r, Y_b, valid_b) -> FilterResu
     totals = jax.tree.map(
         lambda x: jax.lax.all_gather(x, axis), block_total
     )  # leading axis nblocks
-    ident = _identity_element(d, B, dtype)
+    # pvary: the identity is a replicated constant but the scan carry
+    # becomes device-varying after the first combine — align the vma types
+    # so check_vma=True can verify the rest of the collectives.
+    ident = jax.tree.map(lambda x: jax.lax.pvary(x, (axis,)), _identity_element(d, B, dtype))
     prefixes = _exclusive_prefix(totals, ident)
     idx = jax.lax.axis_index(axis)
     my_prefix = jax.tree.map(
@@ -176,7 +179,7 @@ def _sharded_filter_impl(mesh: Mesh, axis: str, A, Q, R, H, Y) -> FilterResult:
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_specs,
-        check_vma=False,
+        check_vma=True,
     )(A, Q, R, H, Y, valid)
 
     if pad:
@@ -304,7 +307,9 @@ def _sharded_smooth_impl(mesh: Mesh, axis: str, A, Q, R, H, Y) -> SmoothResult:
         # Phase 2: all_gather block totals; exclusive SUFFIX combine so
         # device k holds the aggregate of blocks k+1..B-1.
         totals = jax.tree.map(lambda x: jax.lax.all_gather(x, axis), block_total)
-        ident = _smooth_identity(d, B, dtype)
+        ident = jax.tree.map(
+            lambda x: jax.lax.pvary(x, (axis,)), _smooth_identity(d, B, dtype)
+        )
 
         def step(carry, elem):
             nxt = _combine_smooth(carry, elem)  # carry = later aggregate
@@ -332,7 +337,7 @@ def _sharded_smooth_impl(mesh: Mesh, axis: str, A, Q, R, H, Y) -> SmoothResult:
         mesh=mesh,
         in_specs=in_specs,
         out_specs=out_specs,
-        check_vma=False,
+        check_vma=True,
     )(A, Q, R, H, Y, valid)
 
     if pad:

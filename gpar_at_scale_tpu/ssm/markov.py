@@ -51,6 +51,11 @@ from gpar_at_scale_tpu.kernels.stationary import Matern12, Matern32, Matern52
 _SQRT3 = 1.7320508075688772
 _SQRT5 = 2.23606797749979
 
+# Debug mode: validate sortedness of TRACED time grids inside jit via
+# jax.experimental.checkify (see ``discretize``).  Off by default — the
+# public APIs sort before discretizing, and the check costs a reduction.
+VALIDATE_SORTED = False
+
 
 @kernel_dataclass()
 class SDEBlock:
@@ -217,15 +222,25 @@ def discretize(sde: SDE, t: jnp.ndarray, noise_var) -> LGSSM:
     n = t.shape[0]
     dts = jnp.diff(t)
     # K5 fix (SURVEY.md §7): the reference silently mis-handled unsorted time;
-    # here an unsorted grid would give negative dts -> NaNs.  Check eagerly
-    # when the grid is concrete (outside jit); traced grids are the caller's
-    # responsibility (high-level APIs sort before calling).
-    if not isinstance(dts, jax.core.Tracer):
-        if bool(jnp.any(dts < 0)):
-            raise ValueError(
-                "discretize: time grid must be sorted ascending "
-                "(got negative time gaps)"
+    # here an unsorted grid would give negative dts -> indefinite Q -> NaNs.
+    # Check eagerly when the grid is concrete (outside jit).  For traced
+    # grids, set ``markov.VALIDATE_SORTED = True`` and wrap the caller in
+    # ``jax.experimental.checkify.checkify`` — the check then runs inside
+    # jit (debug mode; high-level APIs sort before calling, so the default
+    # keeps the hot path check-free).
+    if isinstance(dts, jax.core.Tracer):
+        if VALIDATE_SORTED:
+            from jax.experimental import checkify
+
+            checkify.check(
+                jnp.all(dts >= 0),
+                "discretize: time grid must be sorted ascending",
             )
+    elif bool(jnp.any(dts < 0)):
+        raise ValueError(
+            "discretize: time grid must be sorted ascending "
+            "(got negative time gaps)"
+        )
 
     A_blocks = []
     for b in sde.blocks:

@@ -53,13 +53,25 @@ def test_dtc_matches_dense_oracle(rng):
     time_k = Matern52(lengthscale=0.8, variance=1.3)
     nv = 0.2**2
     lgssm = lgssm_of(time_k, t, nv)
-    got = dtc_objective(out_k, lgssm, V, Z, y)
+    # uu_ridge=None isolates the pure bound; the default 'auto' adds the
+    # reference-parity noise ridge to K_uu (checked separately below).
+    got = dtc_objective(out_k, lgssm, V, Z, y, uu_ridge=None)
 
     Sigma_y = np.asarray(time_k(t[:, None])) + nv * np.eye(len(t))
     want = dense_dtc_oracle(
         np.asarray(out_k(V, Z)), np.asarray(out_k(Z, Z)), Sigma_y, np.asarray(y)
     )
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # Default uu_ridge='auto' == mean(lgssm.R): oracle with K_uu + nv I.
+    got_auto = dtc_objective(out_k, lgssm, V, Z, y)
+    want_auto = dense_dtc_oracle(
+        np.asarray(out_k(V, Z)),
+        np.asarray(out_k(Z, Z)) + nv * np.eye(Z.shape[0]),
+        Sigma_y,
+        np.asarray(y),
+    )
+    np.testing.assert_allclose(got_auto, want_auto, rtol=1e-6)
 
 
 def test_dtc_equals_exact_when_inducing_are_inputs(rng):
@@ -71,7 +83,7 @@ def test_dtc_equals_exact_when_inducing_are_inputs(rng):
     time_k = Matern52(lengthscale=0.6, variance=1.1)
     nv = 0.15
     lgssm = lgssm_of(time_k, t, nv)
-    got = dtc_objective(out_k, lgssm, V, V, y)
+    got = dtc_objective(out_k, lgssm, V, V, y, uu_ridge=None)
 
     # exact: y ~ N(0, K_out(V) + K_time(t) + nv I)
     K = np.asarray(out_k(V, V)) + np.asarray(time_k(t[:, None])) + nv * np.eye(30)
@@ -87,7 +99,10 @@ def test_dtc_is_lower_bound_and_increases_with_m(rng):
     time_k = Matern52(lengthscale=0.6, variance=1.1)
     nv = 0.15
     lgssm = lgssm_of(time_k, t, nv)
-    vals = [float(dtc_objective(out_k, lgssm, V, V[:m], y)) for m in (3, 10, 35)]
+    vals = [
+        float(dtc_objective(out_k, lgssm, V, V[:m], y, uu_ridge=None))
+        for m in (3, 10, 35)
+    ]
     K = np.asarray(out_k(V, V)) + np.asarray(time_k(t[:, None])) + nv * np.eye(35)
     L = np.linalg.cholesky(K)
     a = np.linalg.solve(L, np.asarray(y))
@@ -103,7 +118,7 @@ def test_qu_posterior_matches_dense(rng):
     time_k = Matern52(lengthscale=0.7, variance=0.9)
     nv = 0.1
     lgssm = lgssm_of(time_k, t, nv)
-    qu = compute_q_u(out_k, lgssm, V, Z, y)
+    qu = compute_q_u(out_k, lgssm, V, Z, y, uu_ridge=None)
 
     Sigma_y = np.asarray(time_k(t[:, None])) + nv * np.eye(30)
     Kfu = np.asarray(out_k(V, Z))
@@ -151,7 +166,9 @@ def test_scaled_prediction_exact_limit(rng):
     time_k = Matern52(lengthscale=1.0, variance=1.0)
     nv = 0.05
     lgssm = lgssm_of(time_k, jnp.array(t), nv)
-    qu = compute_q_u(out_k, lgssm, jnp.array(V), jnp.array(V), jnp.array(y))
+    qu = compute_q_u(
+        out_k, lgssm, jnp.array(V), jnp.array(V), jnp.array(y), uu_ridge=None
+    )
     pred = predict_scaled(
         out_k, time_k, qu, jnp.array(V), jnp.array(t), jnp.array(y), jnp.array(ts), jnp.array(Vs), nv
     )
@@ -202,3 +219,87 @@ def test_sparse_iid_prediction_full_limit(rng):
     mu_e, var_e = post.predict_f(Vs)
     np.testing.assert_allclose(mu, mu_e, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(var, var_e, rtol=1e-3, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Size-dispatched dense whitening / dense smoothing backends
+# ---------------------------------------------------------------------------
+
+
+def test_dense_whitening_matches_filter(rng):
+    """The dense chol(Sigma_y) backend and the Kalman whitening agree on the
+    bound and on q(u) (VERDICT r2 item 1 done-criterion, 1e-5)."""
+    t, V, Z, y = _setup(rng, n=60, m=9)
+    out_k = Matern52(lengthscale=1.1, variance=0.9)
+    time_k = Matern52(lengthscale=0.8, variance=1.3)
+    nv = 0.2**2
+    lgssm = lgssm_of(time_k, t, nv)
+
+    f_filter = dtc_objective(out_k, lgssm, V, Z, y)
+    f_dense = dtc_objective(
+        out_k, lgssm, V, Z, y, filter_fn="dense", time_kernel=time_k, t=t
+    )
+    f_auto = dtc_objective(
+        out_k, lgssm, V, Z, y, time_kernel=time_k, t=t
+    )  # auto: N=60 <= DENSE_N_MAX -> dense
+    np.testing.assert_allclose(float(f_dense), float(f_filter), rtol=1e-9)
+    np.testing.assert_allclose(float(f_auto), float(f_dense), rtol=1e-12)
+
+    qu_f = compute_q_u(out_k, lgssm, V, Z, y)
+    qu_d = compute_q_u(
+        out_k, lgssm, V, Z, y, filter_fn="dense", time_kernel=time_k, t=t
+    )
+    np.testing.assert_allclose(
+        np.asarray(qu_d.m_eps), np.asarray(qu_f.m_eps), rtol=1e-6, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(qu_d.L_D), np.asarray(qu_f.L_D), rtol=1e-6, atol=1e-10
+    )
+
+
+def test_dense_whitening_gradients_match_filter(rng):
+    t, V, Z, y = _setup(rng, n=50, m=7)
+    nv_time = 0.15
+
+    def nlml(v, impl):
+        time_k = Matern52(lengthscale=0.8, variance=v)
+        out_k = Matern52(lengthscale=1.1, variance=0.9)
+        lgssm = lgssm_of(time_k, t, nv_time)
+        kw = dict(time_kernel=time_k, t=t) if impl == "dense" else {}
+        return -dtc_objective(
+            out_k, lgssm, V, Z, y, filter_fn=None if impl != "dense" else "dense", **kw
+        )
+
+    v0 = jnp.float64(1.3)
+    vd, gd = jax.value_and_grad(lambda v: nlml(v, "dense"))(v0)
+    vf, gf = jax.value_and_grad(lambda v: nlml(v, "filter"))(v0)
+    np.testing.assert_allclose(float(vd), float(vf), rtol=1e-9)
+    np.testing.assert_allclose(float(gd), float(gf), rtol=1e-7)
+
+
+def test_predict_scaled_dense_smoother_matches_sequential(rng):
+    from gpar_at_scale_tpu.ssm.kalman import rts_smooth
+
+    t, V, Z, y = _setup(rng, n=40, m=8)
+    t_star = jnp.array(np.sort(rng.uniform(0, 5, size=12)))
+    V_star = jnp.array(rng.normal(size=(12, 2)))
+    out_k = Matern52(lengthscale=1.0, variance=0.8)
+    time_k = Matern52(lengthscale=0.9, variance=1.0)
+    nv = 0.1
+    lgssm = lgssm_of(time_k, t, nv)
+    qu = compute_q_u(out_k, lgssm, V, Z, y)
+
+    p_seq = predict_scaled(
+        out_k, time_k, qu, V, t, y, t_star, V_star, nv, smooth_fn=rts_smooth
+    )
+    p_dense = predict_scaled(
+        out_k, time_k, qu, V, t, y, t_star, V_star, nv, smooth_fn="dense"
+    )
+    p_auto = predict_scaled(out_k, time_k, qu, V, t, y, t_star, V_star, nv)
+    np.testing.assert_allclose(
+        np.asarray(p_dense.mean), np.asarray(p_seq.mean), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_dense.var), np.asarray(p_seq.var), rtol=1e-5, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(p_auto.mean), np.asarray(p_dense.mean))

