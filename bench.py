@@ -139,7 +139,7 @@ def main():
     # Amortized timing: R DISTINCT pipelines inside one jit (distinct inits so
     # XLA cannot hoist loop-invariant work), one host sync at the end — the
     # TPU-tunnel dispatch RTT (tens of ms) is paid once, not per rep.
-    reps = 20
+    reps = 50  # dilutes the ~29 ms tunnel-dispatch RTT to <0.6 ms/pipeline
 
     @jax.jit
     def pipelines(inits):

@@ -8,7 +8,7 @@ import sys
 import time
 
 sys.path.insert(0, ".")
-from examples._common import setup_jax
+from examples._common import setup_jax, sync
 
 jax = setup_jax(cpu="--cpu" in sys.argv, x64=False)
 
@@ -46,9 +46,13 @@ def main():
             )
         )
     )
-    res = jax.block_until_ready(run(keys, x0s))  # compile
+    # _common.sync: block_until_ready is not a reliable barrier through the
+    # axon TPU tunnel (returns before remote execution completes).
+    res = run(keys, x0s)
+    sync(res)  # compile
     t0 = time.perf_counter()
-    res = jax.block_until_ready(run(keys, x0s))
+    res = run(keys, x0s)
+    sync(res)
     el = time.perf_counter() - t0
 
     pooled = np.asarray(res.samples)  # (C, S, 5)

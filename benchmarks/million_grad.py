@@ -25,6 +25,8 @@ def main():
     import numpy as np
     import optax
 
+    from examples._common import sync
+
     from gpar_at_scale_tpu.kernels import Matern52
     from gpar_at_scale_tpu.ops.pallas_grad import logpdf_markov_pallas
     from gpar_at_scale_tpu.utils.params import pack_gp, unpack_gp
@@ -61,12 +63,16 @@ def main():
         (p, _), vs = jax.lax.scan(step, (p0, opt.init(p0)), None, length=STEPS)
         return p, vs
 
+    # _common.sync: block_until_ready is not a reliable barrier through the
+    # axon TPU tunnel (returns before remote execution completes).
     t0 = time.perf_counter()
-    p, vs = jax.block_until_ready(run(p0))
+    p, vs = run(p0)
+    sync((p, vs))
     compile_and_run = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    p, vs = jax.block_until_ready(run(p0))
+    p, vs = run(p0)
+    sync((p, vs))
     steady = time.perf_counter() - t0
 
     l, sf, sn = (float(v) for v in unpack_gp(p))

@@ -78,3 +78,23 @@ def smse(pred, truth):
     pred = np.asarray(pred)
     truth = np.asarray(truth)
     return float(np.mean((pred - truth) ** 2) / np.var(truth))
+
+
+def sync(*trees):
+    """True completion barrier for timing.
+
+    ``jax.block_until_ready`` is NOT a reliable barrier through the axon TPU
+    tunnel in this sandbox — it has been observed returning before the remote
+    execution finishes, making timings wildly optimistic.  Fetching a single
+    element of each leaf to the host forces real completion (the slice op
+    must wait for its producer).  Costs one extra dispatch RTT (~30 ms via
+    the tunnel) — negligible against the multi-second workloads timed with
+    it, and stated in BENCHMARKS.md methodology.
+    """
+    import jax
+
+    tot = 0.0
+    for tr in trees:
+        for leaf in jax.tree.leaves(tr):
+            tot += float(leaf.ravel()[0]) * 0.0
+    return tot

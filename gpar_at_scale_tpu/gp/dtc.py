@@ -178,20 +178,31 @@ def _whiten_all(
         t_d = jnp.asarray(t, batch.dtype)
         R = jnp.broadcast_to(jnp.asarray(lgssm.R, batch.dtype), (n,))
         Sigma = time_kernel(t_d[:, None], t_d[:, None]) + jnp.diag(R)
-        from gpar_at_scale_tpu.utils.psd import add_jitter
+        from gpar_at_scale_tpu.utils.psd import _pallas_dense_ok, add_jitter
 
-        if m == n:
+        if _pallas_dense_ok(Sigma, batch):
+            # Opt-in (GPAR_PALLAS_DENSE=1): ONE fused Pallas launch
+            # factorizes Sigma_y, whitens all M+1 columns, and returns
+            # logdet.  Off by default — see ops/pallas_dense docstring for
+            # the measured end-to-end trade-off vs XLA's pipelined linalg.
+            from gpar_at_scale_tpu.ops.pallas_dense import chol_solve
+
+            _, white, logdet_noise = chol_solve(Sigma, batch)
+            L_uu = cholesky_psd(Kuu)
+        elif m == n:
             # Pseudo-points == inputs (the reference's EEG setup,
             # ``examples/eeg.jl:217-220``): factorize Sigma_y and K_uu in ONE
             # batched Cholesky — small-matrix chol is latency-bound on TPU,
             # so halving the sequential chol count matters at N~150.
             Ls = jnp.linalg.cholesky(jnp.stack([Sigma, add_jitter(Kuu)]))
             L, L_uu = Ls[0], Ls[1]
+            white = solve_lower(L, batch)
+            logdet_noise = logdet_from_chol(L)
         else:
             L = jnp.linalg.cholesky(Sigma)
             L_uu = cholesky_psd(Kuu)
-        white = solve_lower(L, batch)
-        logdet_noise = logdet_from_chol(L)
+            white = solve_lower(L, batch)
+            logdet_noise = logdet_from_chol(L)
         aa, g, Gb = _gram_from_white(white)
     elif filter_fn == "pallas":
         from gpar_at_scale_tpu.ops.pallas_grad import pallas_supported, whiten_gram
@@ -328,11 +339,22 @@ def _dense_smoother(time_kernel: Kernel, t_s, noise_s):
     def smooth(lgssm, cols):
         del lgssm  # same temporal posterior, computed densely
         t2 = t_s[:, None]
+        n_all = t_s.shape[0]
         K = time_kernel(t2, t2)
-        Sigma = K + jnp.diag(jnp.broadcast_to(noise_s, (t_s.shape[0],)))
-        L = jnp.linalg.cholesky(Sigma)
-        W = solve_lower(L, K)  # (N, N): W^T W = K Sigma^-1 K
-        mean = W.T @ solve_lower(L, cols)
+        Sigma = K + jnp.diag(jnp.broadcast_to(noise_s, (n_all,)))
+        both = jnp.concatenate([K, cols], axis=1)
+        from gpar_at_scale_tpu.utils.psd import _pallas_dense_ok
+
+        if _pallas_dense_ok(Sigma, both):
+            # Opt-in fused Pallas chol + all N+M+1 solves (ops/pallas_dense).
+            from gpar_at_scale_tpu.ops.pallas_dense import chol_solve
+
+            _, Wb, _ = chol_solve(Sigma, both)
+        else:
+            L = jnp.linalg.cholesky(Sigma)
+            Wb = solve_lower(L, both)
+        W = Wb[:, :n_all]  # L^-1 K: W^T W = K Sigma^-1 K
+        mean = W.T @ Wb[:, n_all:]
         var = time_kernel.diag_part(t2) - jnp.sum(W * W, axis=0)
         return _DenseSmooth(mean=mean, var=jnp.maximum(var, 0.0))
 

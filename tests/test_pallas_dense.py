@@ -1,0 +1,163 @@
+"""Pallas dense Cholesky / triangular-solve kernels vs XLA oracles.
+
+Covers: factor/solve/logdet values, non-multiple-of-8 padding, the custom
+VJPs (gradcheck against XLA autodiff through the same math), and vmap
+batching (the parallel conditional-fit path vmaps every psd call).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpar_at_scale_tpu.ops.pallas_dense import chol_solve, tri_u, tri_ut
+
+jf32 = jnp.float32
+
+
+def _spd(rng, n):
+    A = rng.normal(size=(n, n))
+    return jnp.asarray(A @ A.T + n * np.eye(n), jf32)
+
+
+@pytest.mark.parametrize("n,k", [(24, 5), (13, 7), (40, 1)])
+def test_chol_solve_values(rng, n, k):
+    S = _spd(rng, n)
+    B = jnp.asarray(rng.normal(size=(n, k)), jf32)
+    U, W, ld = chol_solve(S, B, interpret=True)
+    L_ref = np.linalg.cholesky(np.asarray(S, np.float64))
+    np.testing.assert_allclose(np.asarray(U), L_ref.T, rtol=2e-5, atol=2e-5)
+    W_ref = np.linalg.solve(L_ref, np.asarray(B, np.float64))
+    np.testing.assert_allclose(np.asarray(W), W_ref, rtol=3e-5, atol=3e-5)
+    ld_ref = 2.0 * np.sum(np.log(np.diag(L_ref)))
+    np.testing.assert_allclose(float(ld), ld_ref, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n,k", [(24, 6), (13, 3)])
+def test_tri_solves_values(rng, n, k):
+    S = _spd(rng, n)
+    U = jnp.asarray(np.linalg.cholesky(np.asarray(S, np.float64)).T, jf32)
+    B = jnp.asarray(rng.normal(size=(n, k)), jf32)
+    X_ut = tri_ut(U, B, interpret=True)  # U^-T B = L^-1 B
+    X_u = tri_u(U, B, interpret=True)  # U^-1 B
+    Uref = np.asarray(U, np.float64)
+    np.testing.assert_allclose(
+        np.asarray(X_ut), np.linalg.solve(Uref.T, np.asarray(B, np.float64)),
+        rtol=3e-5, atol=3e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(X_u), np.linalg.solve(Uref, np.asarray(B, np.float64)),
+        rtol=3e-5, atol=3e-5,
+    )
+
+
+def test_chol_solve_grad_matches_xla(rng):
+    """Gradcheck the fused custom VJP against XLA autodiff through the
+    mathematically identical chol+solve+logdet graph."""
+    n, k = 16, 4
+    A0 = jnp.asarray(rng.normal(size=(n, n)), jf32)
+    B0 = jnp.asarray(rng.normal(size=(n, k)), jf32)
+    c = jnp.asarray(rng.normal(size=(n,)), jf32)
+
+    def scal_pallas(A, B):
+        S = A @ A.T + n * jnp.eye(n, dtype=jf32)
+        U, W, ld = chol_solve(S, B, interpret=True)
+        return jnp.sum(W * W) + 0.7 * ld + jnp.sum(U @ c)
+
+    def scal_xla(A, B):
+        S = A @ A.T + n * jnp.eye(n, dtype=jf32)
+        L = jnp.linalg.cholesky(S)
+        W = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+        ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        return jnp.sum(W * W) + 0.7 * ld + jnp.sum(L.T @ c)
+
+    v_p = scal_pallas(A0, B0)
+    v_x = scal_xla(A0, B0)
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-5)
+    gA_p, gB_p = jax.grad(scal_pallas, argnums=(0, 1))(A0, B0)
+    gA_x, gB_x = jax.grad(scal_xla, argnums=(0, 1))(A0, B0)
+    np.testing.assert_allclose(np.asarray(gA_p), np.asarray(gA_x), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gB_p), np.asarray(gB_x), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("which", ["ut", "u"])
+def test_tri_solve_grad_matches_xla(rng, which):
+    n, k = 16, 3
+    A0 = jnp.asarray(rng.normal(size=(n, n)), jf32)
+    B0 = jnp.asarray(rng.normal(size=(n, k)), jf32)
+
+    def make(U_fn):
+        def scal(A, B):
+            S = A @ A.T + n * jnp.eye(n, dtype=jf32)
+            U = jnp.linalg.cholesky(S).T
+            return jnp.sum(jnp.cos(U_fn(U, B)))
+
+        return scal
+
+    if which == "ut":
+        f_p = make(lambda U, B: tri_ut(U, B, interpret=True))
+        f_x = make(
+            lambda U, B: jax.scipy.linalg.solve_triangular(U, B, lower=False, trans=1)
+        )
+    else:
+        f_p = make(lambda U, B: tri_u(U, B, interpret=True))
+        f_x = make(
+            lambda U, B: jax.scipy.linalg.solve_triangular(U, B, lower=False)
+        )
+    np.testing.assert_allclose(float(f_p(A0, B0)), float(f_x(A0, B0)), rtol=1e-5)
+    gp = jax.grad(f_p, argnums=(0, 1))(A0, B0)
+    gx = jax.grad(f_x, argnums=(0, 1))(A0, B0)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_chol_solve_vmap(rng):
+    """The parallel conditional-fit path vmaps every factorization."""
+    n, k, batch = 16, 3, 4
+    Ss = jnp.stack([_spd(rng, n) for _ in range(batch)])
+    Bs = jnp.asarray(rng.normal(size=(batch, n, k)), jf32)
+    U, W, ld = jax.vmap(lambda S, B: chol_solve(S, B, interpret=True))(Ss, Bs)
+    for i in range(batch):
+        L_ref = np.linalg.cholesky(np.asarray(Ss[i], np.float64))
+        np.testing.assert_allclose(np.asarray(U[i]), L_ref.T, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(W[i]),
+            np.linalg.solve(L_ref, np.asarray(Bs[i], np.float64)),
+            rtol=3e-5,
+            atol=3e-5,
+        )
+
+
+def test_dtc_dense_branch_through_pallas(rng, monkeypatch):
+    """End-to-end: the dense whitening branch of dtc_objective produces the
+    same value AND hyperparameter gradient through the Pallas kernels
+    (interpret mode) as through XLA."""
+    import jax
+
+    from gpar_at_scale_tpu.gp.dtc import dtc_objective
+    from gpar_at_scale_tpu.kernels import Matern52
+    from gpar_at_scale_tpu.ssm.markov import lgssm_of
+    from gpar_at_scale_tpu.utils.params import unpack_gpar
+
+    n = 28
+    t = jnp.asarray(np.sort(rng.uniform(0, 4, n)), jf32)
+    X = jnp.asarray(rng.normal(size=(n, 2)), jf32)
+    y = jnp.asarray(np.sin(np.asarray(t)) + 0.1 * rng.normal(size=n), jf32)
+    Z = X[::2]
+
+    def obj(p):
+        tl, ts, ol, osig, ns = unpack_gpar(p)
+        time_k = Matern52(lengthscale=tl, variance=ts**2)
+        out_k = Matern52(lengthscale=ol, variance=osig**2)
+        lgssm = lgssm_of(time_k, t, ns**2, jf32)
+        return dtc_objective(
+            out_k, lgssm, X, Z, y, uu_ridge=ns**2,
+            filter_fn="dense", time_kernel=time_k, t=t,
+        )
+
+    p0 = jnp.asarray(0.1 * rng.normal(size=5), jf32)
+    v_xla, g_xla = jax.value_and_grad(obj)(p0)
+    monkeypatch.setenv("GPAR_PALLAS_DENSE_INTERPRET", "1")
+    v_pal, g_pal = jax.value_and_grad(obj)(p0)
+    np.testing.assert_allclose(float(v_pal), float(v_xla), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla), rtol=2e-3, atol=2e-4)
