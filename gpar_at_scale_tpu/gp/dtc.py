@@ -273,10 +273,20 @@ def dtc_objective(
         time_kernel=time_kernel, t=t,
     )
     n = jnp.shape(jnp.asarray(y))[0]
-    L_lam = _lam_chol(inter)
-    w = solve_lower(L_lam, solve_lower(inter.L_uu, inter.g))
-    logdet_lam = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_lam)))
-    quad = inter.aa - jnp.sum(w**2)
+    # P-form of the bound: with P = Gb + K_uu,
+    #   logdet Lam = logdet(L_uu^-1 P L_uu^-T) = logdet P - logdet K_uu
+    #   |chol(Lam)^-1 L_uu^-1 g|^2 = g^T P^-1 g
+    # — mathematically identical to the reference's A/Lam algebra
+    # (``src/gp/dtc.jl:119-125``) but with no M x M-RHS triangular solves on
+    # the hot path (they and their VJPs dominated the per-step wall-clock at
+    # EEG scale; chol(P) follows Gb after one MXU matmul instead).
+    # K_uu is reconstructed from its factor so both logdets share one
+    # factorization's jitter.
+    Kuu_r = inter.L_uu @ inter.L_uu.T
+    L_P = jnp.linalg.cholesky(inter.Gb + Kuu_r)
+    wp = solve_lower(L_P, inter.g)
+    logdet_lam = logdet_from_chol(L_P) - logdet_from_chol(inter.L_uu)
+    quad = inter.aa - jnp.sum(wp**2)
     return -0.5 * (n * _LOG_2PI + inter.logdet_noise + logdet_lam + quad)
 
 
