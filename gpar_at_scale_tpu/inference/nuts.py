@@ -140,7 +140,12 @@ def nuts_kernel(
             delta = h0 - h_new
             diverging = jnp.logical_or(jnp.isnan(delta), delta < -1000.0)
             log_w_leaf = jnp.where(diverging, -jnp.inf, delta)  # propto exp(-h+h0)
-            accept_leaf = jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))
+            # NaN-safe acceptance: a NaN energy (f32 chol overflow at extreme
+            # hyperparameters) must count as accept=0, NOT poison sum_accept
+            # -> dual averaging -> step size for the rest of the run.
+            accept_leaf = jnp.where(
+                diverging, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0)))
+            )
 
             p_ckpt = jnp.where(write, c["p_ckpt"].at[slot].set(p_new), c["p_ckpt"])
             p_sum = c["p_sum"] + p_new

@@ -136,3 +136,28 @@ def test_nuts_gp_hyperparam_posterior(key, rng):
     med = np.exp(np.median(np.asarray(res.samples), axis=0)) + 1e-3
     # noise posterior concentrates near the true 0.1
     assert 0.05 < med[2] < 0.2, med
+
+
+def test_nuts_nan_logpost_does_not_poison_stats(key):
+    """A logpost that returns NaN in part of the space (f32 Cholesky
+    overflow at extreme hyperparameters does this) must register as
+    divergences with accept=0 — NOT leak NaN into the acceptance stats and
+    dual-averaging step size (r2 regression: every EEG ESS chain diverged
+    with accept=nan)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpar_at_scale_tpu.inference.nuts import nuts
+
+    def lp(q):
+        base = -0.5 * jnp.sum(q**2)
+        return jnp.where(jnp.sum(q**2) > 9.0, jnp.nan, base)
+
+    res = nuts(
+        key, lp, jnp.zeros(3, jnp.float32) + 0.1, num_samples=100, num_warmup=100
+    )
+    acc = float(jnp.mean(res.accept_prob))
+    assert np.isfinite(acc) and acc > 0.3
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+    assert np.isfinite(float(res.step_size)) and float(res.step_size) > 0
