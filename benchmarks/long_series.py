@@ -29,6 +29,9 @@ def main():
     from gpar_at_scale_tpu.ssm.pkalman import parallel_decorrelate
 
     N = int(next((a for a in sys.argv[1:] if not a.startswith("--")), 1_000_000))
+    chunk = next(
+        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--chunk=")), 0
+    )
     rng = np.random.default_rng(0)
     t = jnp.asarray(np.cumsum(rng.uniform(0.5, 1.5, N)) / 1000.0, jnp.float32)
     y = jnp.asarray(np.sin(np.asarray(t) * 3) + 0.3 * rng.normal(size=N), jnp.float32)
@@ -66,9 +69,21 @@ def main():
 
     from gpar_at_scale_tpu.ops.pallas_smoother import pallas_smooth
 
-    el_p = bench("pallas filter", lambda: pallas_decorrelate(lg, y), 10)
-    bench("pallas smooth", lambda: pallas_smooth(lg, y), 5)
-    el_s = bench("seq scan", lambda: decorrelate(lg, y), 2)
+    if chunk:
+        # Bounded per-launch size (see BENCHMARKS.md env caveats): the
+        # blocked-scan kernel segmented at `chunk` steps with the combined
+        # filtering element threaded across segments.
+        from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate_chunked
+
+        el_p = bench(
+            "pallas filter", lambda: pallas_decorrelate_chunked(lg, y, chunk_size=chunk), 10
+        )
+    else:
+        el_p = bench("pallas filter", lambda: pallas_decorrelate(lg, y), 10)
+        bench("pallas smooth", lambda: pallas_smooth(lg, y), 5)
+    if "--no-seq" not in sys.argv:
+        el_s = bench("seq scan", lambda: decorrelate(lg, y), 2)
+        print(f"pallas speedup vs seq: {el_s/el_p:.1f}x")
     print(f"pallas speedup vs seq: {el_s/el_p:.1f}x")
     if "--no-assoc" not in sys.argv:
         el_a = bench("assoc scan", jax.jit(lambda: parallel_decorrelate(lg, y)), 2)

@@ -393,7 +393,39 @@ def pallas_decorrelate(
     R = jnp.concatenate([lgssm.R.astype(f32), jnp.ones((pad,), f32)])
     Y = jnp.concatenate([jnp.asarray(y, f32), jnp.zeros((pad,), f32)])
     Mask = jnp.concatenate([jnp.ones((n,), f32), jnp.zeros((pad,), f32)])
+    out = _decorrelate_core(
+        d, T, A, Q, R, Y, Mask, None, interpret, return_gains, return_moments, return_full
+    )[0]
+    alpha = out[1]
+    return (out[0], alpha[:n]) + tuple(
+        o if jnp.ndim(o) == 0 else o[:n] for o in out[2:]
+    )
 
+
+def _elem_identity(d, dtype=jnp.float32):
+    """Identity of the filtering-element monoid (A, b, C, eta, J)."""
+    return (
+        jnp.eye(d, dtype=dtype),
+        jnp.zeros((d, 1), dtype),
+        jnp.zeros((d, d), dtype),
+        jnp.zeros((d, 1), dtype),
+        jnp.zeros((d, d), dtype),
+    )
+
+
+def _decorrelate_core(
+    d, T, A, Q, R, Y, Mask, carry, interpret, return_gains, return_moments, return_full
+):
+    """Blocked-scan whitening over a padded (LANES*T,) segment.
+
+    carry: None (cold start: x_0 ~ N(0, Q_0), the LGSSM convention) or the
+    combined filtering element of everything BEFORE this segment — phase 2's
+    exclusive prefix is seeded with it, which is how segments chain exactly
+    (``pallas_decorrelate_chunked``).  Returns (outputs, carry_out) with
+    outputs in the ``pallas_decorrelate`` order, un-sliced (padded length),
+    and carry_out = carry ∘ (this segment's combined element).
+    """
+    f32 = jnp.float32
     A_l = _flatten_mat(_to_lanes(A, T))  # (T, d*d, 8, 128)
     Q_l = _flatten_mat(_to_lanes(Q, T))
     R_l = _to_lanes(R, T)  # (T, 8, 128)
@@ -449,10 +481,26 @@ def pallas_decorrelate(
     elems = (bA, bb, bC, beta, bJ)
     with jax.default_matmul_precision("highest"):
         scanned = jax.lax.associative_scan(combine_xla, elems, axis=0)
-    # exclusive prefix: shift right, identity at block 0
-    sA, sb, sC, _, _ = scanned
-    m0 = jnp.concatenate([jnp.zeros((1, d, 1), f32), sb[:-1]], axis=0)[:, :, 0]  # (LANES, d)
-    P0 = jnp.concatenate([jnp.zeros((1, d, d), f32), sC[:-1]], axis=0)  # (LANES, d, d)
+    # exclusive prefix: shift right, identity at block 0, then compose the
+    # cross-segment carry in front (identity when carry is None).
+    ident = _elem_identity(d)
+    shifted = tuple(
+        jnp.concatenate([e0[None], s[:-1]], axis=0)
+        for e0, s in zip(ident, scanned)
+    )
+    if carry is None:
+        carry = ident
+    carry_b = tuple(jnp.broadcast_to(c[None], (LANES,) + c.shape) for c in carry)
+    with jax.default_matmul_precision("highest"):
+        prefixed = combine_xla(carry_b, shifted)
+        carry_out = tuple(
+            c[0]
+            for c in combine_xla(
+                tuple(c[None] for c in carry), tuple(s[-1:] for s in scanned)
+            )
+        )
+    m0 = prefixed[1][:, :, 0]  # (LANES, d)
+    P0 = prefixed[2]  # (LANES, d, d)
 
     m0_l = m0.transpose(1, 0).reshape(1, d, SUB, LANE)
     P0_l = P0.transpose(1, 2, 0).reshape(1, d, d, LANES).reshape(1, d * d, SUB, LANE)
@@ -497,25 +545,80 @@ def pallas_decorrelate(
         interpret=interpret,
     )(A_l, Q_l, R_l, Y_l, M_l, m0_l, P0_l)
 
-    # un-lane alpha: (T, 8, 128) -> (LANES*T,) -> slice n
-    alpha = alpha_l.reshape(T, LANES).transpose(1, 0).reshape(LANES * T)[:n]
+    # un-lane alpha: (T, 8, 128) -> (LANES*T,); callers slice to n
+    alpha = alpha_l.reshape(T, LANES).transpose(1, 0).reshape(LANES * T)
     ll = jnp.sum(ll_l)
     logdet = jnp.sum(ls_l)
     if return_moments or return_full:
-        m = m_l.reshape(T, d, LANES).transpose(2, 0, 1).reshape(LANES * T, d)[:n]
+        m = m_l.reshape(T, d, LANES).transpose(2, 0, 1).reshape(LANES * T, d)
         P = (
             P_l.reshape(T, d * d, LANES)
             .transpose(2, 0, 1)
-            .reshape(LANES * T, d, d)[:n]
+            .reshape(LANES * T, d, d)
         )
         if not return_full:
-            return ll, alpha, logdet, m, P
+            return (ll, alpha, logdet, m, P), carry_out
     if not (return_gains or return_full):
-        return ll, alpha, logdet
-    S = jnp.exp(logs_l.reshape(T, LANES).transpose(1, 0).reshape(LANES * T)[:n])
-    K = (
-        K_l.reshape(T, d, LANES).transpose(2, 0, 1).reshape(LANES * T, d)[:n]
-    )
+        return (ll, alpha, logdet), carry_out
+    S = jnp.exp(logs_l.reshape(T, LANES).transpose(1, 0).reshape(LANES * T))
+    K = K_l.reshape(T, d, LANES).transpose(2, 0, 1).reshape(LANES * T, d)
     if return_full:
-        return ll, alpha, logdet, S, K, m, P
-    return ll, alpha, logdet, S, K
+        return (ll, alpha, logdet, S, K, m, P), carry_out
+    return (ll, alpha, logdet, S, K), carry_out
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size", "interpret"))
+def pallas_decorrelate_chunked(
+    lgssm: LGSSM, y, chunk_size: int = 32768, interpret: bool = False
+):
+    """Whitening pass (ll, alpha, logdet) with a BOUNDED per-launch size.
+
+    Splits the series into ``chunk_size``-step segments and runs the
+    blocked-scan kernel per segment under ``lax.scan``, threading the
+    combined filtering element across segment boundaries — exactly the same
+    affine-element composition phase 2 uses across in-segment blocks, so
+    the result is bitwise-equivalent math at any chunking.  Use when a
+    single huge launch is undesirable (streaming from host, or runtimes
+    that bound per-execution size — see BENCHMARKS.md caveats).
+    """
+    d = lgssm.dim
+    if not pallas_supported(lgssm):
+        return _decorrelate_fallback(lgssm, y, False, False, False)
+    if chunk_size % LANES != 0:
+        raise ValueError(f"chunk_size must be a multiple of {LANES}")
+    n = lgssm.num_steps
+    if n <= chunk_size:
+        return pallas_decorrelate(lgssm, y, interpret=interpret)
+    f32 = jnp.float32
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+
+    A = jnp.concatenate([lgssm.A.astype(f32), jnp.zeros((pad, d, d), f32)])
+    Q = jnp.concatenate(
+        [lgssm.Q.astype(f32), jnp.tile(jnp.eye(d, dtype=f32)[None], (pad, 1, 1))]
+    )
+    R = jnp.concatenate(
+        [jnp.broadcast_to(lgssm.R.astype(f32), (n,)), jnp.ones((pad,), f32)]
+    )
+    Y = jnp.concatenate([jnp.asarray(y, f32), jnp.zeros((pad,), f32)])
+    Mask = jnp.concatenate([jnp.ones((n,), f32), jnp.zeros((pad,), f32)])
+
+    cs = chunk_size
+    T = cs // LANES
+    chunks = (
+        A.reshape(n_chunks, cs, d, d),
+        Q.reshape(n_chunks, cs, d, d),
+        R.reshape(n_chunks, cs),
+        Y.reshape(n_chunks, cs),
+        Mask.reshape(n_chunks, cs),
+    )
+
+    def body(carry, ch):
+        Ak, Qk, Rk, Yk, Mk = ch
+        (ll, alpha, logdet), carry_out = _decorrelate_core(
+            d, T, Ak, Qk, Rk, Yk, Mk, carry, interpret, False, False, False
+        )
+        return carry_out, (ll, alpha, logdet)
+
+    _, (lls, alphas, logdets) = jax.lax.scan(body, _elem_identity(d), chunks)
+    return jnp.sum(lls), alphas.reshape(n_chunks * cs)[:n], jnp.sum(logdets)
