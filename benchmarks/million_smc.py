@@ -29,7 +29,7 @@ def main():
 
     from gpar_at_scale_tpu.inference.smc import smc
     from gpar_at_scale_tpu.kernels import Matern52
-    from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate
+    from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate_chunked
     from gpar_at_scale_tpu.ops.pallas_smoother import pallas_smooth
     from gpar_at_scale_tpu.ssm.markov import lgssm_of
     from gpar_at_scale_tpu.utils.params import unpack_gp
@@ -52,7 +52,9 @@ def main():
         l, sf, sn = unpack_gp(params)
         k = Matern52(lengthscale=l, variance=sf**2)
         lgssm = lgssm_of(k, t, sn**2, jnp.float32)
-        ll, _, _ = pallas_decorrelate(lgssm, y)
+        # Segmented launches: this sandbox's worker faults on single
+        # executions above ~64k steps (BENCHMARKS.md env caveats).
+        ll, _, _ = pallas_decorrelate_chunked(lgssm, y, chunk_size=32768)
         return ll
 
     def logprior(params):
@@ -87,15 +89,21 @@ def main():
     print(f"posterior median (l, sigma_f, sigma_n): {np.round(med, 3)}  "
           f"true noise: {true_sn}")
 
-    # predictive smoothing at the median hyperparameters
+    # predictive smoothing at the median hyperparameters — on the last 32k
+    # points (single smoother launches above ~64k steps fault this sandbox's
+    # TPU worker; the posterior itself was computed over the full N via the
+    # segmented filter).
     l, sf, sn = med
+    ns = min(N, 32768)
+    t_s, y_s, f_s = t[-ns:], y[-ns:], f[-ns:]
     k = Matern52(lengthscale=float(l), variance=float(sf) ** 2)
-    lgssm = lgssm_of(k, t, float(sn) ** 2, jnp.float32)
+    lgssm = lgssm_of(k, t_s, float(sn) ** 2, jnp.float32)
     t0 = time.time()
-    fm, fv, _ = jax.block_until_ready(pallas_smooth(lgssm, y))
-    rmse = float(np.sqrt(np.mean((np.asarray(fm) - f) ** 2)))
-    print(f"smoothed predictive: rmse vs latent truth {rmse:.4f} "
-          f"(noise {true_sn}) in {time.time()-t0:.1f}s")
+    fm, fv, _ = pallas_smooth(lgssm, y_s)
+    fm = np.asarray(fm)  # host fetch = true completion (tunnel barrier)
+    rmse = float(np.sqrt(np.mean((fm - f_s) ** 2)))
+    print(f"smoothed predictive (last {ns:,} pts): rmse vs latent truth "
+          f"{rmse:.4f} (noise {true_sn}) in {time.time()-t0:.1f}s")
 
 
 if __name__ == "__main__":
