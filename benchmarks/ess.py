@@ -1,7 +1,14 @@
 """ESS/s for hyperparameter NUTS on the EEG GPAR-DTC posterior — the
 BASELINE.json headline metric.
 
-Usage: python benchmarks/ess.py [--cpu] [--chains=8]
+r3: samples through the bounded tanh reparameterization
+(``models.bayes.bounded_reparam``) so f32 Cholesky cliffs at prior tails are
+unreachable (r2 measured 24.5% divergent transitions without it), and runs
+in bounded-size device executions (``nuts_chunked``) so large chain counts
+complete instead of tripping this environment's ~1-3 min single-execution
+cap (r2: --chains=32 crashed the TPU worker).
+
+Usage: python benchmarks/ess.py [--cpu] [--chains=8] [--full] [--segment=50]
 """
 
 import sys
@@ -17,12 +24,13 @@ import numpy as np
 
 from gpar_at_scale_tpu.data.eeg import TRAIN_POINTS, load_eeg
 from gpar_at_scale_tpu.inference.hmc import effective_sample_size
-from gpar_at_scale_tpu.inference.nuts import nuts
-from gpar_at_scale_tpu.models.bayes import make_conditional_logpost
+from gpar_at_scale_tpu.inference.nuts import nuts_chunked
+from gpar_at_scale_tpu.models.bayes import bounded_reparam, make_conditional_logpost
 
 
 def main():
     chains = next((int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--chains=")), 8)
+    segment = next((int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--segment=")), 50)
     full = "--full" in sys.argv
     ds = load_eeg(None, seed=0)
     n_tr = TRAIN_POINTS
@@ -35,31 +43,34 @@ def main():
     logpost = make_conditional_logpost(
         ds.t[:n_tr], X, y, likelihood="dtc", Z=Z, dtype=jnp.float32
     )
+    logpost_u, constrain = bounded_reparam(logpost, bound=3.0)
 
     num_samples, num_warmup = (500, 300) if full else (300, 200)
-    keys = jax.random.split(jax.random.PRNGKey(0), chains)
     x0s = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (chains, 5))
-    run = jax.jit(
-        jax.vmap(
-            lambda k, x: nuts(
-                k, logpost, x, num_samples=num_samples, num_warmup=num_warmup, max_depth=7
-            )
+
+    def run():
+        return nuts_chunked(
+            jax.random.PRNGKey(0), logpost_u, x0s,
+            num_samples=num_samples, num_warmup=num_warmup,
+            segment_size=segment, max_depth=7,
         )
-    )
-    # _common.sync: block_until_ready is not a reliable barrier through the
-    # axon TPU tunnel (returns before remote execution completes).
-    res = run(keys, x0s)
-    sync(res)  # compile
+
+    # nuts_chunked syncs between segments internally (host-value fetches —
+    # block_until_ready is not a reliable barrier through the axon tunnel).
+    res = run()
+    sync(res)  # compile pass
     t0 = time.perf_counter()
-    res = run(keys, x0s)
+    res = run()
     sync(res)
     el = time.perf_counter() - t0
 
-    pooled = np.asarray(res.samples)  # (C, S, 5)
+    pooled = np.asarray(jax.vmap(jax.vmap(constrain))(res.samples))  # (C, S, 5)
     ess_per_chain = np.stack([np.asarray(effective_sample_size(jnp.asarray(c))) for c in pooled])
     total_ess = ess_per_chain.sum(axis=0)  # (5,)
+    n_div = int(np.sum(np.asarray(res.num_divergent)))
+    n_tot = chains * num_samples
     print(f"device: {jax.devices()[0]}  chains: {chains}  wall: {el:.2f}s")
-    print(f"divergences: {int(np.sum(np.asarray(res.num_divergent)))}")
+    print(f"divergences: {n_div} / {n_tot} ({100.0*n_div/n_tot:.2f}%)")
     print(f"mean accept: {float(np.mean(np.asarray(res.accept_prob))):.3f}")
     print(f"ESS (per param): {np.round(total_ess, 1)}")
     print(f"ESS/s (min over params): {total_ess.min()/el:,.1f}")

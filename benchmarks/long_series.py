@@ -1,11 +1,15 @@
 """Long-series state-space GPAR benchmark (north-star config 4: 1M steps).
 
-Compares the three Kalman whitening engines on one chip:
-  - sequential ``lax.scan`` filter       (O(N) depth)
-  - XLA associative-scan filter          (O(log N) depth, O(log N) HBM passes)
-  - Pallas lane-parallel blocked scan    (2 streaming passes)
+Compares the Kalman whitening engines on one chip:
+  - blocked two-pass XLA scan (ssm/blocked.py)   — the production engine
+  - sequential ``lax.scan`` filter               (O(N) depth)
+  - XLA associative-scan filter                  (O(log N) depth, O(log N)
+                                                  HBM passes; opt-in)
+  - Pallas lane-parallel blocked scan            (opt-in: pathological
+    through this sandbox's axon relay — see BENCHMARKS.md diagnosis)
 
-Usage: python benchmarks/long_series.py [N] [--no-assoc]
+Usage: python benchmarks/long_series.py [N] [--no-seq] [--assoc] [--pallas]
+       [--chunk=K]
 """
 
 import os
@@ -23,10 +27,9 @@ def main():
     import numpy as np
 
     from gpar_at_scale_tpu.kernels import Matern52
-    from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate
+    from gpar_at_scale_tpu.ssm.blocked import blocked_decorrelate, blocked_smooth
     from gpar_at_scale_tpu.ssm.kalman import decorrelate
     from gpar_at_scale_tpu.ssm.markov import lgssm_of
-    from gpar_at_scale_tpu.ssm.pkalman import parallel_decorrelate
 
     N = int(next((a for a in sys.argv[1:] if not a.startswith("--")), 1_000_000))
     chunk = next(
@@ -37,6 +40,11 @@ def main():
     y = jnp.asarray(np.sin(np.asarray(t) * 3) + 0.3 * rng.normal(size=N), jnp.float32)
     k = Matern52(lengthscale=1.0, variance=1.0)
     lg = jax.block_until_ready(jax.jit(lambda t: lgssm_of(k, t, 0.09, jnp.float32))(t))
+    # Warm the remote compile service (first compile in a process pays
+    # ~80-140 s of connection warmup regardless of program size — measured
+    # r3, benchmarks/results_r3/diag_*.txt) so per-engine compile numbers
+    # reflect the engine, not the service.
+    float(np.asarray(jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64)))))
     print(f"N={N}  device={jax.devices()[0]}")
 
     def bench(name, fn, reps):
@@ -63,31 +71,36 @@ def main():
         ll = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
         print(
             f"{name:>14}: compile {compile_s:6.1f}s  run {el*1e3:9.2f} ms "
-            f"({N/el/1e6:7.2f} M steps/s)  ll={ll:.1f}"
+            f"({N/el/1e6:7.2f} M steps/s)  ll={ll:.1f}",
+            flush=True,
         )
         return el
 
-    from gpar_at_scale_tpu.ops.pallas_smoother import pallas_smooth
+    el_b = bench("blocked filter", lambda: blocked_decorrelate(lg, y), 10)
+    bench("blocked smooth", lambda: blocked_smooth(lg, y), 5)
+    if "--pallas" in sys.argv:
+        if chunk:
+            from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate_chunked
 
-    if chunk:
-        # Bounded per-launch size (see BENCHMARKS.md env caveats): the
-        # blocked-scan kernel segmented at `chunk` steps with the combined
-        # filtering element threaded across segments.
-        from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate_chunked
+            bench(
+                "pallas filter",
+                lambda: pallas_decorrelate_chunked(lg, y, chunk_size=chunk),
+                10,
+            )
+        else:
+            from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate
+            from gpar_at_scale_tpu.ops.pallas_smoother import pallas_smooth
 
-        el_p = bench(
-            "pallas filter", lambda: pallas_decorrelate_chunked(lg, y, chunk_size=chunk), 10
-        )
-    else:
-        el_p = bench("pallas filter", lambda: pallas_decorrelate(lg, y), 10)
-        bench("pallas smooth", lambda: pallas_smooth(lg, y), 5)
+            bench("pallas filter", lambda: pallas_decorrelate(lg, y), 10)
+            bench("pallas smooth", lambda: pallas_smooth(lg, y), 5)
     if "--no-seq" not in sys.argv:
         el_s = bench("seq scan", lambda: decorrelate(lg, y), 2)
-        print(f"pallas speedup vs seq: {el_s/el_p:.1f}x")
-    print(f"pallas speedup vs seq: {el_s/el_p:.1f}x")
-    if "--no-assoc" not in sys.argv:
-        el_a = bench("assoc scan", jax.jit(lambda: parallel_decorrelate(lg, y)), 2)
-        print(f"pallas speedup vs assoc: {el_a/el_p:.1f}x")
+        print(f"blocked speedup vs seq: {el_s/el_b:.1f}x")
+    if "--assoc" in sys.argv:
+        from gpar_at_scale_tpu.ssm.pkalman import parallel_decorrelate
+
+        el_a = bench("assoc scan", lambda: parallel_decorrelate(lg, y), 2)
+        print(f"blocked speedup vs assoc: {el_a/el_b:.1f}x")
 
 
 if __name__ == "__main__":

@@ -1,15 +1,19 @@
 """Gradient-based hyperparameter optimization at 1M steps (north-star
-config 4) through the Pallas blocked-scan filter.
+config 4).
 
 The reference cannot do this at all: its temporal path is a sequential
 O(N)-depth Julia filter driven by derivative-free Nelder-Mead
 (``src/gp/temporal_gp_inference.jl:82``), demonstrated at N = 10k.  Here
-each optimization step is ONE fused forward+backward pass — the blocked-scan
-filter (2 streaming passes) plus the disturbance-smoother adjoint
-(1 streaming backward pass, ``ops/pallas_grad.py``) — with exact gradients
-for Matern 1/2, 3/2, 5/2.
+each optimization step differentiates the exact Kalman NLML through the
+blocked two-pass engine (``ssm/blocked.py``) by plain ``jax.grad`` — the
+scan body is (B, d, d)-batched, so forward + backward are ~4 streaming
+passes with N/B sequential depth.
 
-Usage: python benchmarks/million_grad.py [N] [STEPS]
+``--pallas``: the Pallas blocked-scan filter with the disturbance-smoother
+adjoint (``ops/pallas_grad.py``) — the real-hardware kernel path; measured
+pathological through this sandbox's axon relay (BENCHMARKS.md diagnosis).
+
+Usage: python benchmarks/million_grad.py [N] [STEPS] [--pallas]
 """
 
 import os
@@ -28,11 +32,14 @@ def main():
     from examples._common import sync
 
     from gpar_at_scale_tpu.kernels import Matern52
-    from gpar_at_scale_tpu.ops.pallas_grad import logpdf_markov_pallas
+    from gpar_at_scale_tpu.ssm.blocked import blocked_logpdf
+    from gpar_at_scale_tpu.ssm.markov import lgssm_of
     from gpar_at_scale_tpu.utils.params import pack_gp, unpack_gp
 
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    N = int(next((a for a in sys.argv[1:] if not a.startswith("--")), 1_000_000))
+    STEPS = int(
+        next((a for a in sys.argv[2:] if not a.startswith("--")), 30)
+    ) if len(sys.argv) > 2 else 30
 
     rng = np.random.default_rng(0)
     t = jnp.asarray(np.cumsum(rng.uniform(0.5, 1.5, N)) / 1000.0, jnp.float32)
@@ -42,12 +49,24 @@ def main():
         + true_n * rng.normal(size=N),
         jnp.float32,
     )
+    # warm the remote compile service (see long_series.py note)
+    float(np.asarray(jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64)))))
     print(f"N={N}  steps={STEPS}  device={jax.devices()[0]}")
 
-    def nll(p):
-        l, sf, sn = unpack_gp(p)
-        k = Matern52(lengthscale=l, variance=sf**2)
-        return -logpdf_markov_pallas(k, t, sn**2, y) / N
+    if "--pallas" in sys.argv:
+        from gpar_at_scale_tpu.ops.pallas_grad import logpdf_markov_pallas
+
+        def nll(p):
+            l, sf, sn = unpack_gp(p)
+            k = Matern52(lengthscale=l, variance=sf**2)
+            return -logpdf_markov_pallas(k, t, sn**2, y) / N
+
+    else:
+
+        def nll(p):
+            l, sf, sn = unpack_gp(p)
+            k = Matern52(lengthscale=l, variance=sf**2)
+            return -blocked_logpdf(lgssm_of(k, t, sn**2, jnp.float32), y) / N
 
     opt = optax.adam(5e-2)
     p0 = jnp.asarray(pack_gp(0.3, 1.0, 0.1), jnp.float32)

@@ -1,15 +1,16 @@
 """State-space GPAR at 1M steps: SMC hyperparameter posterior with the
-Pallas blocked-scan likelihood (north-star config 4).
+blocked two-pass Kalman likelihood (north-star config 4).
 
-The trick: SMC with random-walk mutations needs only likelihood VALUES, so
-the non-differentiable (but 300+ M steps/s) Pallas filter can drive full
-Bayesian inference over the temporal-GP hyperparameters at a scale where the
-reference's sequential filter would take ~minutes per evaluation and dense
-methods are unthinkable (O(N^3) = 1e18 flops).
+SMC with random-walk mutations needs only likelihood VALUES; each tempering
+stage evaluates the exact O(N) Kalman NLML for every particle through the
+blocked engine (``ssm/blocked.py``) — full Bayesian inference over the
+temporal-GP hyperparameters at a scale where the reference's sequential
+filter would take ~minutes per evaluation and dense methods are unthinkable
+(O(N^3) = 1e18 flops).
 
 Pipeline: tempered SMC over (log_l, log_sigma_f, log_sigma_n) -> posterior
 cloud -> smoothed predictive at the posterior-median hyperparameters via the
-blocked-scan RTS smoother.
+blocked RTS smoother.
 
 Usage: python benchmarks/million_smc.py [N] [--particles=64]
 """
@@ -29,8 +30,7 @@ def main():
 
     from gpar_at_scale_tpu.inference.smc import smc
     from gpar_at_scale_tpu.kernels import Matern52
-    from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate_chunked
-    from gpar_at_scale_tpu.ops.pallas_smoother import pallas_smooth
+    from gpar_at_scale_tpu.ssm.blocked import blocked_logpdf, blocked_smooth
     from gpar_at_scale_tpu.ssm.markov import lgssm_of
     from gpar_at_scale_tpu.utils.params import unpack_gp
 
@@ -52,10 +52,7 @@ def main():
         l, sf, sn = unpack_gp(params)
         k = Matern52(lengthscale=l, variance=sf**2)
         lgssm = lgssm_of(k, t, sn**2, jnp.float32)
-        # Segmented launches: this sandbox's worker faults on single
-        # executions above ~64k steps (BENCHMARKS.md env caveats).
-        ll, _, _ = pallas_decorrelate_chunked(lgssm, y, chunk_size=32768)
-        return ll
+        return blocked_logpdf(lgssm, y)
 
     def logprior(params):
         return -0.5 * jnp.sum(params**2) / 4.0
@@ -89,20 +86,16 @@ def main():
     print(f"posterior median (l, sigma_f, sigma_n): {np.round(med, 3)}  "
           f"true noise: {true_sn}")
 
-    # predictive smoothing at the median hyperparameters — on the last 32k
-    # points (single smoother launches above ~64k steps fault this sandbox's
-    # TPU worker; the posterior itself was computed over the full N via the
-    # segmented filter).
+    # predictive smoothing at the median hyperparameters over the FULL N
+    # (the blocked smoother runs 1M steps in one fast execution).
     l, sf, sn = med
-    ns = min(N, 32768)
-    t_s, y_s, f_s = t[-ns:], y[-ns:], f[-ns:]
     k = Matern52(lengthscale=float(l), variance=float(sf) ** 2)
-    lgssm = lgssm_of(k, t_s, float(sn) ** 2, jnp.float32)
+    lgssm = lgssm_of(k, t, float(sn) ** 2, jnp.float32)
     t0 = time.time()
-    fm, fv, _ = pallas_smooth(lgssm, y_s)
-    fm = np.asarray(fm)  # host fetch = true completion (tunnel barrier)
-    rmse = float(np.sqrt(np.mean((fm - f_s) ** 2)))
-    print(f"smoothed predictive (last {ns:,} pts): rmse vs latent truth "
+    sm = blocked_smooth(lgssm, y)
+    fm = np.asarray(sm.mean)  # host fetch = true completion (tunnel barrier)
+    rmse = float(np.sqrt(np.mean((fm - f) ** 2)))
+    print(f"smoothed predictive (all {N:,} pts): rmse vs latent truth "
           f"{rmse:.4f} (noise {true_sn}) in {time.time()-t0:.1f}s")
 
 

@@ -58,6 +58,25 @@ class MeshConfig:
 
 
 @dataclass
+class EngineConfig:
+    """Kernel-dispatch switches for the linear-algebra engine.
+
+    pallas_dense: "off" | "on" | "interpret" — route small dense
+    cholesky/trisolve through the fused Pallas kernels
+    (``ops/pallas_dense``).  Default "off": measured end-to-end on the EEG
+    DTC pipeline (v5e, r2) the fused kernels LOSE to XLA's overlapped
+    While-loop linalg despite winning serialized single-op microbenches
+    (see ``utils/psd.py`` docstring).  "interpret" runs them in interpret
+    mode (CPU test hook).  Env overrides (highest precedence, kept for
+    test hooks): ``GPAR_NO_PALLAS_DENSE=1`` forces off,
+    ``GPAR_PALLAS_DENSE=1`` forces on, ``GPAR_PALLAS_DENSE_INTERPRET=1``
+    forces interpret.
+    """
+
+    pallas_dense: str = "off"
+
+
+@dataclass
 class RunConfig:
     seed: int = 0
     checkpoint_dir: Optional[str] = None
@@ -72,6 +91,7 @@ class Config:
     sampler: SamplerConfig = field(default_factory=SamplerConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
     run: RunConfig = field(default_factory=RunConfig)
 
     # -- serialization ----------------------------------------------------
@@ -117,6 +137,27 @@ class Config:
                     continue
             rest.append(arg)
         return rest
+
+
+# -- process-global runtime config -----------------------------------------
+# The engine (``utils/psd.py``) consults this singleton for dispatch
+# switches so behavior is configurable and testable without env vars.
+
+_runtime_config: Config | None = None
+
+
+def get_config() -> Config:
+    """The process-global runtime Config (defaults until ``set_config``)."""
+    global _runtime_config
+    if _runtime_config is None:
+        _runtime_config = Config()
+    return _runtime_config
+
+
+def set_config(cfg: Config) -> None:
+    """Install a Config as the process-global runtime config."""
+    global _runtime_config
+    _runtime_config = cfg
 
 
 def kernel_family(name: str):

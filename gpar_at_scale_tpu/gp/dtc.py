@@ -167,10 +167,15 @@ def _whiten_all(
         if n <= DENSE_N_MAX:
             filter_fn = "dense"
         else:
-            # Large N: O(log N)-depth associative scan (time-shardable).
-            from gpar_at_scale_tpu.ssm.pkalman import parallel_filter
+            # Large N: the blocked two-pass engine — N/B sequential depth
+            # with a B-way lockstep inner axis; compiles in seconds and
+            # differentiates by plain jax.grad (see ssm/blocked.py; the
+            # associative engine fails to compile at N >= 1e5 through this
+            # sandbox's remote compile service and makes O(log N) HBM
+            # passes where blocked makes two).
+            from gpar_at_scale_tpu.ssm.blocked import blocked_filter
 
-            filter_fn = parallel_filter
+            filter_fn = blocked_filter
 
     if filter_fn == "dense":
         if time_kernel is None or t is None:
@@ -443,7 +448,12 @@ def predict_scaled(
     noise_s = noise_all[order]
 
     if smooth_fn is None:
-        smooth_fn = "dense" if (n + n_star) <= DENSE_N_MAX else rts_smooth
+        if (n + n_star) <= DENSE_N_MAX:
+            smooth_fn = "dense"
+        else:
+            from gpar_at_scale_tpu.ssm.blocked import blocked_smooth
+
+            smooth_fn = blocked_smooth
     if smooth_fn == "dense":
         smooth_fn = _dense_smoother(time_kernel, t_s, noise_s)
 

@@ -288,6 +288,105 @@ class NUTSResult(NamedTuple):
     mean_tree_depth: jnp.ndarray
 
 
+def nuts_chunked(
+    key,
+    logprob_fn: Callable,
+    x0s,
+    *,
+    num_samples: int = 1000,
+    num_warmup: int = 500,
+    segment_size: int = 100,
+    max_depth: int = 8,
+    initial_step_size: float = 0.1,
+    target_accept: float = 0.8,
+    adapt_mass: bool = True,
+) -> NUTSResult:
+    """Vmapped-chain NUTS run in bounded-size device executions.
+
+    Semantically identical to ``jax.vmap(nuts)`` but each device call scans
+    at most ``segment_size`` transitions, with a host sync between segments
+    — for runtimes that bound single-execution duration (this sandbox's TPU
+    tunnel kills executions over ~1-3 min, which is what crashed the r2
+    ``ess.py --chains=32`` run).  x0s: (C, dim); returns chain-stacked
+    NUTSResult with samples (C, S, dim).
+    """
+    import numpy as np
+
+    x0s = jnp.asarray(x0s)
+    chains, dim = x0s.shape
+    dtype = x0s.dtype
+    vg = jax.value_and_grad(logprob_fn)
+
+    keys = jax.vmap(
+        lambda k: jax.random.split(k, num_warmup + num_samples)
+    )(jax.random.split(key, chains))  # (C, total, 2)
+
+    def warm_seg(carry, seg_keys):
+        def body(c, k):
+            q, lp, g, da, wf = c
+            eps = jnp.exp(da.log_eps)
+            inv_mass = welford_variance(wf) if adapt_mass else jnp.ones((dim,), dtype)
+            q, lp, g, aprob, div, depth = nuts_kernel(
+                vg, q, lp, g, k, eps, inv_mass, max_depth
+            )
+            da = da_update(da, aprob, target=target_accept)
+            wf = welford_update(wf, q) if adapt_mass else wf
+            return (q, lp, g, da, wf), None
+
+        carry, _ = jax.lax.scan(body, carry, seg_keys)
+        return carry
+
+    def sample_seg(carry, seg_keys, eps_f, inv_mass_f):
+        def body(c, k):
+            q, lp, g = c
+            q, lp, g, aprob, div, depth = nuts_kernel(
+                vg, q, lp, g, k, eps_f, inv_mass_f, max_depth
+            )
+            return (q, lp, g), (q, lp, aprob, div, depth)
+
+        return jax.lax.scan(body, carry, seg_keys)
+
+    warm_seg_j = jax.jit(jax.vmap(warm_seg))
+    sample_seg_j = jax.jit(jax.vmap(sample_seg))
+
+    def _sync(tree):
+        return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), tree)
+
+    lp0, g0 = jax.vmap(vg)(x0s)
+    da0 = jax.vmap(lambda _: da_init(jnp.asarray(initial_step_size, dtype)))(x0s)
+    wf0 = jax.vmap(lambda _: welford_init(dim, dtype))(x0s)
+    carry = (x0s, lp0, g0, da0, wf0)
+    for s in range(0, num_warmup, segment_size):
+        e = min(s + segment_size, num_warmup)
+        carry = _sync(warm_seg_j(carry, keys[:, s:e]))
+
+    q, lp, g, da, wf = carry
+    eps_f = jnp.exp(da.log_eps_avg)
+    inv_mass_f = (
+        jax.vmap(welford_variance)(wf)
+        if adapt_mass
+        else jnp.ones((chains, dim), dtype)
+    )
+    carry = (q, lp, g)
+    chunks = []
+    for s in range(num_warmup, num_warmup + num_samples, segment_size):
+        e = min(s + segment_size, num_warmup + num_samples)
+        carry, out = _sync(sample_seg_j(carry, keys[:, s:e], eps_f, inv_mass_f))
+        chunks.append(out)
+    qs, lps, aprobs, divs, depths = (
+        jnp.concatenate([c[i] for c in chunks], axis=1) for i in range(5)
+    )
+    return NUTSResult(
+        samples=qs,
+        log_probs=lps,
+        accept_prob=jnp.mean(aprobs, axis=1),
+        step_size=eps_f,
+        inv_mass=inv_mass_f,
+        num_divergent=jnp.sum(divs, axis=1),
+        mean_tree_depth=jnp.mean(depths.astype(dtype), axis=1),
+    )
+
+
 def nuts(
     key,
     logprob_fn: Callable,

@@ -95,6 +95,39 @@ def make_temporal_logpost(
     return logpost
 
 
+def bounded_reparam(logpost: Callable, bound: float = 3.0):
+    """Smooth bounded reparameterization of a log-posterior over log-params.
+
+    Sample in unconstrained u-space with  p = bound * tanh(u / bound)  and
+    the exact log-Jacobian  sum_i log sech^2(u_i/bound); draws constrained
+    back to p-space are EXACT samples from the posterior restricted to
+    (-bound, bound)^d (renormalized).  Why: the f32 DTC/exact likelihoods
+    have a Cholesky cliff at extreme log-hyperparameters (long lengthscale
+    + huge signal variance + tiny noise -> cond(K) > 1/eps_f32 -> NaN), and
+    NUTS warmup trajectories that overshoot into it count as divergences —
+    24.5% of transitions in the r2 EEG benchmark.  Bounding the *effective*
+    params keeps cond(K) in f32 range everywhere the integrator can reach,
+    so divergences measure real energy error only.  bound=3.0 keeps
+    exp(p) in [0.05, 20] (vs the N(0, 2^2) prior's 3-sigma range ~ e^6):
+    worst-case cond ~ M * e^6 / (e^-3+1e-3)^2 ~ 5e6 < 1/eps_f32.
+
+    Returns (logpost_u, constrain): the u-space log-density and the map
+    u -> p for post-processing samples.
+    """
+    b = float(bound)
+
+    def constrain(u):
+        return b * jnp.tanh(u / b)
+
+    def logpost_u(u):
+        x = u / b
+        # log sech^2(x) = 2*(log 2 - x - softplus(-2x)), stable for |x| large
+        log_jac = jnp.sum(2.0 * (jnp.log(2.0) - x - jax.nn.softplus(-2.0 * x)))
+        return logpost(constrain(u)) + log_jac
+
+    return logpost_u, constrain
+
+
 class BayesConditionalResult(NamedTuple):
     samples: jnp.ndarray  # (C, S, 5) posterior log-param draws
     accept_prob: jnp.ndarray

@@ -65,10 +65,14 @@ PALLAS_DENSE_N_MAX = 512
 
 
 def _resolve_interpret(interpret):
-    """interpret=None -> honor GPAR_PALLAS_DENSE_INTERPRET (testing hook:
-    lets CPU tests drive the full pallas-dispatched dense path)."""
+    """interpret=None -> honor the configured dispatch mode
+    (``engine.pallas_dense = "interpret"`` or the
+    GPAR_PALLAS_DENSE_INTERPRET env hook: lets CPU tests drive the full
+    pallas-dispatched dense path)."""
     if interpret is None:
-        return bool(os.environ.get("GPAR_PALLAS_DENSE_INTERPRET"))
+        from gpar_at_scale_tpu.utils.psd import pallas_dense_mode
+
+        return pallas_dense_mode() == "interpret"
     return interpret
 
 

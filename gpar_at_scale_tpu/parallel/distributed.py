@@ -31,9 +31,14 @@ def initialize_distributed(
     Returns True if a multi-process runtime is active.  Safe to call in
     single-process runs (no-op).
     """
-    already = jax.process_count() > 1
-    if already:
-        return True
+    # NB: do not touch jax.process_count()/jax.devices() before deciding —
+    # they initialize the XLA backend, after which distributed.initialize
+    # raises.  Prior initialization is visible on the distributed global
+    # state without a backend round-trip.
+    from jax._src.distributed import global_state
+
+    if global_state.client is not None:
+        return jax.process_count() > 1
     want_multi = (
         coordinator_address is not None
         or os.environ.get("JAX_COORDINATOR_ADDRESS")

@@ -95,7 +95,10 @@ def _block_filter(axis, nblocks, A_b, Q_b, R_b, H_r, Y_b, valid_b) -> FilterResu
     # pvary: the identity is a replicated constant but the scan carry
     # becomes device-varying after the first combine — align the vma types
     # so check_vma=True can verify the rest of the collectives.
-    ident = jax.tree.map(lambda x: jax.lax.pvary(x, (axis,)), _identity_element(d, B, dtype))
+    ident = jax.tree.map(
+        lambda x: jax.lax.pcast(x, to="varying", axes=(axis,)),
+        _identity_element(d, B, dtype),
+    )
     prefixes = _exclusive_prefix(totals, ident)
     idx = jax.lax.axis_index(axis)
     my_prefix = jax.tree.map(
@@ -308,7 +311,8 @@ def _sharded_smooth_impl(mesh: Mesh, axis: str, A, Q, R, H, Y) -> SmoothResult:
         # device k holds the aggregate of blocks k+1..B-1.
         totals = jax.tree.map(lambda x: jax.lax.all_gather(x, axis), block_total)
         ident = jax.tree.map(
-            lambda x: jax.lax.pvary(x, (axis,)), _smooth_identity(d, B, dtype)
+            lambda x: jax.lax.pcast(x, to="varying", axes=(axis,)),
+            _smooth_identity(d, B, dtype),
         )
 
         def step(carry, elem):

@@ -13,3 +13,9 @@ from gpar_at_scale_tpu.ssm.pkalman import (
     parallel_logpdf,
     parallel_smooth,
 )
+from gpar_at_scale_tpu.ssm.blocked import (
+    blocked_decorrelate,
+    blocked_filter,
+    blocked_logpdf,
+    blocked_smooth,
+)

@@ -152,9 +152,17 @@ def _matern52_block(l, s, dtype):
     return SDEBlock(F=F, Pinf=Pinf, H=H, lam=lam)
 
 
-def to_sde(kernel: Kernel, dtype=jnp.float64) -> SDE:
+def default_dtype():
+    """f64 when x64 is enabled, else f32 — so no path requests float64 under
+    a no-x64 config (which silently truncates and spams UserWarnings)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def to_sde(kernel: Kernel, dtype=None) -> SDE:
     """Convert a Markovian kernel (Matern12/32/52, scalar scalings, and sums)
     to its LTI SDE. Raises for non-Markovian kernels (EQ/RQ)."""
+    if dtype is None:
+        dtype = default_dtype()
     return SDE(blocks=tuple(_blocks_of(kernel, dtype, 1.0)))
 
 
@@ -265,7 +273,7 @@ def discretize(sde: SDE, t: jnp.ndarray, noise_var) -> LGSSM:
     return LGSSM(A=A, Q=Q, H=H, R=R)
 
 
-def lgssm_of(kernel: Kernel, t, noise_var, dtype=jnp.float64) -> LGSSM:
+def lgssm_of(kernel: Kernel, t, noise_var, dtype=None) -> LGSSM:
     """Convenience: ``to_sde`` + ``discretize`` (the reference's
     ``create_lgssm``, ``src/gp/temporal_gp_inference.jl:15-39``)."""
     return discretize(to_sde(kernel, dtype), t, noise_var)

@@ -39,10 +39,31 @@ def add_jitter(K, jitter=None):
     return K + (jitter * scale)[..., None, None] * eye
 
 
+def pallas_dense_mode() -> str:
+    """Resolve the Pallas small-dense dispatch mode: "off" | "on" |
+    "interpret".  Source of truth is ``config.get_config().engine.
+    pallas_dense`` (discoverable, testable); the env vars are overrides
+    kept as test hooks with precedence off > interpret > on.
+    """
+    if os.environ.get("GPAR_NO_PALLAS_DENSE"):
+        return "off"
+    if os.environ.get("GPAR_PALLAS_DENSE_INTERPRET"):
+        return "interpret"
+    if os.environ.get("GPAR_PALLAS_DENSE"):
+        return "on"
+    from gpar_at_scale_tpu.config import get_config
+
+    mode = get_config().engine.pallas_dense
+    if mode not in ("off", "on", "interpret"):
+        raise ValueError(f"engine.pallas_dense must be off|on|interpret, got {mode!r}")
+    return mode
+
+
 def _pallas_dense_ok(*arrays) -> bool:
     """True when the Pallas small-dense kernels should take this call.
 
-    OPT-IN (``GPAR_PALLAS_DENSE=1``), off by default: measured end-to-end on
+    OPT-IN (``engine.pallas_dense = "on"`` in config, or the env hooks —
+    see ``pallas_dense_mode``), off by default: measured end-to-end on
     the EEG DTC pipeline (v5e, r2), the Pallas kernels LOSE to XLA despite
     winning isolated single-op microbenchmarks (fused chol+solve 45 us vs
     52 us; trisolve 10 us vs 23 us).  XLA hides its While-loop linalg
@@ -51,17 +72,13 @@ def _pallas_dense_ok(*arrays) -> bool:
     requests — both contexts where single-launch fused kernels serialize.
     Kept as an opt-in backend for strictly latency-critical serialized
     call patterns (e.g. a single un-batched fit on an otherwise idle chip).
-    ``GPAR_PALLAS_DENSE_INTERPRET=1`` additionally forces interpret mode
-    (CPU test hook).
+    "interpret" mode additionally forces interpret-mode kernels (CPU test
+    hook).
     """
-    if not (
-        os.environ.get("GPAR_PALLAS_DENSE")
-        or os.environ.get("GPAR_PALLAS_DENSE_INTERPRET")
-    ):
+    mode = pallas_dense_mode()
+    if mode == "off":
         return False
-    if os.environ.get("GPAR_NO_PALLAS_DENSE"):
-        return False
-    if not os.environ.get("GPAR_PALLAS_DENSE_INTERPRET"):
+    if mode == "on":
         try:
             if jax.default_backend() != "tpu":
                 return False

@@ -1,0 +1,139 @@
+"""Blocked two-pass XLA Kalman engine vs. the sequential oracle.
+
+The production long-series engine (``ssm/blocked.py``): same filtering-element
+monoid as the associative engine, scheduled as two streaming passes with a
+B-way lockstep inner axis.  Covers: FilterResult parity (incl. padding when
+N % B != 0 and N < B), batched columns, sum kernels (d > 3, general H),
+smoother parity, and gradients through the whole engine.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpar_at_scale_tpu.kernels import Matern12, Matern32, Matern52
+from gpar_at_scale_tpu.ssm.blocked import (
+    blocked_decorrelate,
+    blocked_filter,
+    blocked_logpdf,
+    blocked_smooth,
+)
+from gpar_at_scale_tpu.ssm.kalman import decorrelate, kalman_filter, logpdf, rts_smooth
+from gpar_at_scale_tpu.ssm.markov import lgssm_of
+
+FAMS = [Matern12, Matern32, Matern52]
+
+
+def _case(rng, n=50, family=Matern52, nv=0.1):
+    t = jnp.array(np.sort(rng.uniform(0, 8, size=n)))
+    y = jnp.array(rng.normal(size=n))
+    k = family(lengthscale=0.8, variance=1.2)
+    return lgssm_of(k, t, nv), y
+
+
+@pytest.mark.parametrize("family", FAMS)
+@pytest.mark.parametrize("n,B", [(50, 8), (64, 16), (37, 8), (5, 16)])
+def test_blocked_filter_matches_sequential(family, n, B, rng):
+    """Parity incl. ragged padding (37 % 8 != 0) and N < num_blocks."""
+    lgssm, y = _case(rng, n=n, family=family)
+    seq = kalman_filter(lgssm, y)
+    blk = blocked_filter(lgssm, y, num_blocks=B)
+    np.testing.assert_allclose(blk.m, seq.m, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(blk.P, seq.P, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(blk.mp, seq.mp, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(blk.Pp, seq.Pp, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(blk.S, seq.S, rtol=1e-8)
+    np.testing.assert_allclose(blk.v, seq.v, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(blk.ll, seq.ll, rtol=1e-8)
+
+
+def test_blocked_logpdf_and_decorrelate(rng):
+    lgssm, y = _case(rng, n=64)
+    np.testing.assert_allclose(
+        blocked_logpdf(lgssm, y, num_blocks=8), logpdf(lgssm, y), rtol=1e-9
+    )
+    lml_b, a_b = blocked_decorrelate(lgssm, y, num_blocks=8)
+    lml_s, a_s = decorrelate(lgssm, y)
+    np.testing.assert_allclose(a_b, a_s, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(lml_b, lml_s, rtol=1e-9)
+
+
+def test_blocked_batched_columns(rng):
+    """The DTC whitening shape: M+1 columns share one pass (K6 fix)."""
+    lgssm, _ = _case(rng, n=40)
+    Y = jnp.array(np.random.default_rng(1).normal(size=(40, 6)))
+    lml_b, a_b = blocked_decorrelate(lgssm, Y, num_blocks=8)
+    lml_s, a_s = decorrelate(lgssm, Y)
+    np.testing.assert_allclose(a_b, a_s, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(lml_b, lml_s, rtol=1e-8)
+
+
+def test_blocked_sum_kernel_general_H(rng):
+    """Sum-of-Matern SDE: d = 5 block-diagonal state, H = [1,0,1,0,0] — the
+    case the Pallas kernels cannot express (they hard-code H = e1, d <= 3);
+    the blocked XLA engine handles it directly."""
+    n = 48
+    t = jnp.array(np.sort(rng.uniform(0, 8, size=n)))
+    y = jnp.array(rng.normal(size=n))
+    k = Matern32(lengthscale=0.5, variance=0.7) + Matern52(lengthscale=2.0, variance=0.4)
+    lgssm = lgssm_of(k, t, 0.05)
+    assert lgssm.dim == 5
+    seq = kalman_filter(lgssm, y)
+    blk = blocked_filter(lgssm, y, num_blocks=8)
+    np.testing.assert_allclose(blk.ll, seq.ll, rtol=1e-8)
+    np.testing.assert_allclose(blk.m, seq.m, rtol=1e-6, atol=1e-9)
+    bs = blocked_smooth(lgssm, y, num_blocks=8)
+    ss = rts_smooth(lgssm, y)
+    np.testing.assert_allclose(bs.mean, ss.mean, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(bs.var, ss.var, rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("family", FAMS)
+@pytest.mark.parametrize("n,B", [(45, 8), (33, 16)])
+def test_blocked_smoother_matches_sequential(family, n, B, rng):
+    lgssm, y = _case(rng, n=n, family=family)
+    bs = blocked_smooth(lgssm, y, num_blocks=B)
+    ss = rts_smooth(lgssm, y)
+    np.testing.assert_allclose(bs.mean, ss.mean, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(bs.var, ss.var, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(bs.ms, ss.ms, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(bs.Ps, ss.Ps, rtol=1e-6, atol=1e-9)
+
+
+def test_blocked_gradients_match_sequential(rng):
+    """d NLML / d log-hyperparams through the blocked engine == through the
+    sequential scan — the 1M-step training path is plain jax.grad."""
+    n = 60
+    t = jnp.array(np.sort(rng.uniform(0, 6, size=n)))
+    y = jnp.array(np.sin(np.asarray(t)) + 0.1 * rng.normal(size=n))
+
+    def nlml(p, engine):
+        k = Matern52(lengthscale=jnp.exp(p[0]), variance=jnp.exp(p[1]))
+        lg = lgssm_of(k, t, jnp.exp(p[2]))
+        return -(engine(lg, y, num_blocks=8) if engine is blocked_logpdf else engine(lg, y))
+
+    p0 = jnp.array([0.3, -0.2, -1.5])
+    v_b, g_b = jax.value_and_grad(lambda p: nlml(p, blocked_logpdf))(p0)
+    v_s, g_s = jax.value_and_grad(lambda p: nlml(p, logpdf))(p0)
+    np.testing.assert_allclose(float(v_b), float(v_s), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_s), rtol=1e-6, atol=1e-9)
+
+
+def test_blocked_smoother_gradients(rng):
+    """Gradients through the blocked smoother (prediction-path training)."""
+    n = 30
+    t = jnp.array(np.sort(rng.uniform(0, 6, size=n)))
+    y = jnp.array(np.sin(np.asarray(t)) + 0.1 * rng.normal(size=n))
+
+    def loss(p, smoother):
+        k = Matern52(lengthscale=jnp.exp(p[0]), variance=jnp.exp(p[1]))
+        lg = lgssm_of(k, t, jnp.exp(p[2]))
+        kw = {"num_blocks": 8} if smoother is blocked_smooth else {}
+        sm = smoother(lg, y, **kw)
+        return jnp.sum(sm.mean**2) + jnp.sum(sm.var)
+
+    p0 = jnp.array([0.1, 0.2, -1.0])
+    g_b = jax.grad(lambda p: loss(p, blocked_smooth))(p0)
+    g_s = jax.grad(lambda p: loss(p, rts_smooth))(p0)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_s), rtol=1e-6, atol=1e-9)
