@@ -205,6 +205,30 @@ def main():
         file=sys.stderr,
     )
 
+    # MFU / roofline estimate (VERDICT r2 item 7): useful FLOPs of one
+    # pipeline vs the chip's peak.  Prefer XLA's own cost model for the
+    # compiled executable; fall back to an analytic count of the dominant
+    # dense-linear-algebra terms per optimization step:
+    #   chol(Sigma_y) N^3/3, (M+1)-RHS trisolve N^2(M+1), gram 2NM^2,
+    #   chol(K_uu) M^3/3, K_fu 2NMd; x3 for value_and_grad; x50 steps.
+    try:
+        flops = float(
+            jax.jit(pipeline).lower(params0).compile().cost_analysis()["flops"]
+        )
+    except Exception:
+        step = (
+            n**3 / 3 + n**2 * (m + 1) + 2 * n * m**2 + m**3 / 3 + 2 * n * m * d
+        )
+        flops = 3.0 * 50 * step  # fwd+bwd ~ 3x fwd, 50 Adam steps
+    peak = 197e12  # TPU v5e bf16 peak FLOP/s (f32-accum MXU passes)
+    mfu = flops / pipeline_s / peak
+    print(
+        f"pipeline flops ~ {flops:.3g}  ->  {flops/pipeline_s/1e9:.1f} GFLOP/s "
+        f"= {mfu*100:.3f}% MFU of v5e bf16 peak (N=156 is latency-bound; the "
+        f"MXU roofline is irrelevant at this size — see BENCHMARKS.md)",
+        file=sys.stderr,
+    )
+
     ref_budget_s = 3.0  # examples/eeg.jl:228 optimization_time_limit per conditional
     print(
         json.dumps(
@@ -213,6 +237,8 @@ def main():
                 "value": round(pipeline_s, 5),
                 "unit": "s",
                 "vs_baseline": round(ref_budget_s / pipeline_s, 1),
+                "mfu": round(mfu, 6),
+                "gflops_per_s": round(flops / pipeline_s / 1e9, 2),
             }
         )
     )

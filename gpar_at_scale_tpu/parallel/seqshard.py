@@ -96,7 +96,7 @@ def _block_filter(axis, nblocks, A_b, Q_b, R_b, H_r, Y_b, valid_b) -> FilterResu
     # becomes device-varying after the first combine — align the vma types
     # so check_vma=True can verify the rest of the collectives.
     ident = jax.tree.map(
-        lambda x: jax.lax.pcast(x, to="varying", axes=(axis,)),
+        lambda x: jax.lax.pcast(x, axis, to="varying"),
         _identity_element(d, B, dtype),
     )
     prefixes = _exclusive_prefix(totals, ident)
@@ -311,7 +311,7 @@ def _sharded_smooth_impl(mesh: Mesh, axis: str, A, Q, R, H, Y) -> SmoothResult:
         # device k holds the aggregate of blocks k+1..B-1.
         totals = jax.tree.map(lambda x: jax.lax.all_gather(x, axis), block_total)
         ident = jax.tree.map(
-            lambda x: jax.lax.pcast(x, to="varying", axes=(axis,)),
+            lambda x: jax.lax.pcast(x, axis, to="varying"),
             _smooth_identity(d, B, dtype),
         )
 
