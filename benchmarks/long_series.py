@@ -9,7 +9,13 @@ Compares the Kalman whitening engines on one chip:
     through this sandbox's axon relay — see BENCHMARKS.md diagnosis)
 
 Usage: python benchmarks/long_series.py [N] [--no-seq] [--assoc] [--pallas]
-       [--chunk=K]
+       [--chunk=K] [--blocks=B] [--only=filter|smooth|seq|assoc]
+
+``--only``: run a single engine row (the remote compile service occasionally
+stalls many minutes on one program; one-row-per-process keeps each artifact
+independently retryable).  ``--blocks``: lockstep block count B for the
+blocked engine (sequential depth is N/B; larger B = fewer, wider scan
+iterations).
 """
 
 import os
@@ -34,6 +40,15 @@ def main():
     N = int(next((a for a in sys.argv[1:] if not a.startswith("--")), 1_000_000))
     chunk = next(
         (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--chunk=")), 0
+    )
+    only = next(
+        (a.split("=")[1] for a in sys.argv[1:] if a.startswith("--only=")), None
+    )
+    from gpar_at_scale_tpu.ssm import blocked as _blocked
+
+    nblocks = next(
+        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--blocks=")),
+        _blocked.NUM_BLOCKS,
     )
     rng = np.random.default_rng(0)
     t = jnp.asarray(np.cumsum(rng.uniform(0.5, 1.5, N)) / 1000.0, jnp.float32)
@@ -76,8 +91,51 @@ def main():
         )
         return el
 
-    el_b = bench("blocked filter", lambda: blocked_decorrelate(lg, y), 10)
-    bench("blocked smooth", lambda: blocked_smooth(lg, y), 5)
+    el_b = None
+    if only in (None, "filter"):
+        el_b = bench(
+            f"blocked filter B={nblocks}",
+            lambda: blocked_decorrelate(lg, y, num_blocks=nblocks),
+            10,
+        )
+    if only in (None, "smooth"):
+        bench(
+            f"blocked smooth B={nblocks}",
+            lambda: blocked_smooth(lg, y, num_blocks=nblocks),
+            5,
+        )
+    if only == "smooth-split":
+        # The fused filter+smoother program stalls the remote compile
+        # service at N=1M (r3, long_series_1m_smooth.err); split into two
+        # separately-compiled dispatches: the (known-good) filter, then the
+        # smoother given the FilterResult.  Same math, same total work.
+        from gpar_at_scale_tpu.ssm.blocked import blocked_filter
+
+        fr = jax.jit(lambda y: blocked_filter(lg, y, num_blocks=nblocks))(
+            y[:, None] if y.ndim == 1 else y
+        )
+        fr = jax.block_until_ready(fr)
+
+        def smooth_given(res):
+            return blocked_smooth(lg, y[:, None], filter_result=res, num_blocks=nblocks)
+
+        sm = jax.jit(smooth_given)
+        t0 = time.time()
+        float(np.asarray(sm(fr).mean.sum()))
+        print(f"smoother-given-filter compile+1st: {time.time()-t0:6.1f}s", flush=True)
+        runs = []
+        for i in range(5):
+            # vary inputs: the remote service memoizes identical calls
+            fr2 = fr._replace(m=fr.m + jnp.float32((i + 1) * 1e-6))
+            t0 = time.time()
+            float(np.asarray(sm(fr2).mean.sum()))
+            runs.append(time.time() - t0)
+        el = min(runs)
+        print(
+            f"smoother-given-filter per-dispatch: {el*1e3:9.2f} ms "
+            f"({N/el/1e6:7.2f} M steps/s; incl. ~29 ms tunnel RTT)",
+            flush=True,
+        )
     if "--pallas" in sys.argv:
         if chunk:
             from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate_chunked
@@ -93,14 +151,16 @@ def main():
 
             bench("pallas filter", lambda: pallas_decorrelate(lg, y), 10)
             bench("pallas smooth", lambda: pallas_smooth(lg, y), 5)
-    if "--no-seq" not in sys.argv:
+    if ("--no-seq" not in sys.argv and only is None) or only == "seq":
         el_s = bench("seq scan", lambda: decorrelate(lg, y), 2)
-        print(f"blocked speedup vs seq: {el_s/el_b:.1f}x")
-    if "--assoc" in sys.argv:
+        if el_b is not None:
+            print(f"blocked speedup vs seq: {el_s/el_b:.1f}x")
+    if "--assoc" in sys.argv or only == "assoc":
         from gpar_at_scale_tpu.ssm.pkalman import parallel_decorrelate
 
         el_a = bench("assoc scan", lambda: parallel_decorrelate(lg, y), 2)
-        print(f"blocked speedup vs assoc: {el_a/el_b:.1f}x")
+        if el_b is not None:
+            print(f"blocked speedup vs assoc: {el_a/el_b:.1f}x")
 
 
 if __name__ == "__main__":
