@@ -71,28 +71,106 @@ def main():
     opt = optax.adam(5e-2)
     p0 = jnp.asarray(pack_gp(0.3, 1.0, 0.1), jnp.float32)
 
-    @jax.jit
-    def run(p0):
-        def step(carry, _):
-            p, st = carry
-            v, g = jax.value_and_grad(nll)(p)
+    if "--fisher" in sys.argv:
+        # The production 1M-step scheme: closed-form disturbance-smoother
+        # gradient (ssm/blocked_grad.py) with forward filter, backward
+        # adjoint scan, discretization pullback, and optimizer update as
+        # FOUR separately-compiled dispatches — every fused fwd+bwd program
+        # (plain scan wrapper, --split's per-step value_and_grad, even the
+        # custom-VJP in one jit) stalls this sandbox's remote compile
+        # service indefinitely at N=1e6 (results_r3/million_grad_1m*.err).
+        from gpar_at_scale_tpu.ssm.blocked_grad import loglik_bwd, loglik_fwd_aux
+
+        def arrays(p):
+            l, sf, sn = unpack_gp(p)
+            k = Matern52(lengthscale=l, variance=sf**2)
+            lg = lgssm_of(k, t, sn**2, jnp.float32)
+            return lg.A, lg.Q, jnp.broadcast_to(lg.R, (N,)), lg.H
+
+        jmake = jax.jit(arrays)
+        jfwd = jax.jit(lambda A, Q, R, H: loglik_fwd_aux(A, Q, R, H, y))
+        jbwd = jax.jit(loglik_bwd)
+
+        @jax.jit
+        def jpull_and_update(p, st, dA, dQ, dR):
+            _, vjp = jax.vjp(lambda pp: arrays(pp)[:3], p)
+            (g,) = vjp((dA, dQ, dR))
+            g = -g / N  # nll = -ll / N
             up, st = opt.update(g, st)
-            return (optax.apply_updates(p, up), st), v
+            return optax.apply_updates(p, up), st
 
-        (p, _), vs = jax.lax.scan(step, (p0, opt.init(p0)), None, length=STEPS)
-        return p, vs
+        def run_fisher(p0):
+            p, st = p0, opt.init(p0)
+            v = None
+            for _ in range(STEPS):
+                A, Q, R, H = jmake(p)
+                ll, aux = jfwd(A, Q, R, H)
+                dA, dQ, dR, _ = jbwd(A, Q, R, H, aux)
+                p, st = jpull_and_update(p, st, dA, dQ, dR)
+                v = ll
+            sync((p, v))
+            return p, jnp.stack([-v / N])
 
-    # _common.sync: block_until_ready is not a reliable barrier through the
-    # axon TPU tunnel (returns before remote execution completes).
-    t0 = time.perf_counter()
-    p, vs = run(p0)
-    sync((p, vs))
-    compile_and_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        p, vs = run_fisher(p0)
+        compile_and_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        p, vs = run_fisher(p0)
+        steady = time.perf_counter() - t0
+    elif "--split" in sys.argv:
+        # One value_and_grad per device dispatch, optimizer update in a tiny
+        # second jit, host loop over steps.  The fused scan-of-30-steps
+        # program stalls the remote compile service at N=1e6 (same pathology
+        # as the fused filter+smoother, BENCHMARKS.md "engine dispatch
+        # diagnosis"); split dispatches compile in seconds each and cost one
+        # ~29 ms tunnel RTT per step.
+        vg = jax.jit(jax.value_and_grad(nll))
 
-    t0 = time.perf_counter()
-    p, vs = run(p0)
-    sync((p, vs))
-    steady = time.perf_counter() - t0
+        @jax.jit
+        def upd(p, st, g):
+            up, st = opt.update(g, st)
+            return optax.apply_updates(p, up), st
+
+        def run_split(p0):
+            p, st = p0, opt.init(p0)
+            vs = []
+            for _ in range(STEPS):
+                v, g = vg(p)
+                p, st = upd(p, st, g)
+                vs.append(v)
+            sync((p, vs[-1]))
+            return p, jnp.stack(vs)
+
+        t0 = time.perf_counter()
+        p, vs = run_split(p0)
+        compile_and_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        p, vs = run_split(p0)
+        steady = time.perf_counter() - t0
+    else:
+
+        @jax.jit
+        def run(p0):
+            def step(carry, _):
+                p, st = carry
+                v, g = jax.value_and_grad(nll)(p)
+                up, st = opt.update(g, st)
+                return (optax.apply_updates(p, up), st), v
+
+            (p, _), vs = jax.lax.scan(step, (p0, opt.init(p0)), None, length=STEPS)
+            return p, vs
+
+        # _common.sync: block_until_ready is not a reliable barrier through
+        # the axon TPU tunnel (returns before remote execution completes).
+        t0 = time.perf_counter()
+        p, vs = run(p0)
+        sync((p, vs))
+        compile_and_run = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        p, vs = run(p0)
+        sync((p, vs))
+        steady = time.perf_counter() - t0
 
     l, sf, sn = (float(v) for v in unpack_gp(p))
     per_step_ms = steady / STEPS * 1e3

@@ -12,7 +12,15 @@ Pipeline: tempered SMC over (log_l, log_sigma_f, log_sigma_n) -> posterior
 cloud -> smoothed predictive at the posterior-median hyperparameters via the
 blocked RTS smoother.
 
-Usage: python benchmarks/million_smc.py [N] [--particles=64]
+``--host``: host-driven staging (``inference.smc.smc_host``) with the
+vmapped blocked likelihood evaluated in chunks of ``--chunk`` particles per
+device dispatch — the one-jit SMC program over 64 particles x 1M steps
+carries ~8 GB of live scan state and never finishes compiling through this
+sandbox's remote compile service (BENCHMARKS.md "engine dispatch
+diagnosis").
+
+Usage: python benchmarks/million_smc.py [N] [--particles=64] [--host]
+       [--chunk=8]
 """
 
 import os
@@ -61,26 +69,65 @@ def main():
     k_init, k_smc = jax.random.split(key)
     x0 = jax.random.normal(k_init, (P, 3), jnp.float32) * 0.5
 
-    run = jax.jit(
-        lambda key, x0: smc(
-            key, logprior, loglik, x0, num_mutations=3, ess_threshold=0.5, max_stages=20
-        )
-    )
     print(f"N={N:,}  particles={P}  device={jax.devices()[0]}")
-    t0 = time.time()
-    res = run(k_smc, x0)
-    post = np.asarray(res.particles)
-    el = time.time() - t0
-    print(f"SMC (compile+run): {el:.1f}s  stages={int(res.num_stages)}  "
-          f"beta={float(res.final_beta):.2f}  logZ={float(res.log_evidence):.1f}")
-    t0 = time.time()
-    res = run(k_smc, x0)
-    post = np.asarray(res.particles)
-    el = time.time() - t0
-    # total likelihood evaluations: stages * (1 + mutations) * particles
-    n_evals = int(res.num_stages) * 4 * P
-    print(f"SMC (warm): {el:.1f}s  ~{n_evals} likelihood evals "
-          f"({n_evals*N/el/1e9:.1f} B filter steps/s)")
+    if "--host" in sys.argv:
+        from gpar_at_scale_tpu.inference.smc import smc_host
+
+        CH = next(
+            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--chunk=")), 8
+        )
+        jll = jax.jit(jax.vmap(loglik))
+
+        def log_lik_batch(xs):
+            xs = np.asarray(xs, np.float32)
+            out = []
+            for i in range(0, len(xs), CH):
+                chunk = xs[i : i + CH]
+                npad = CH - len(chunk)
+                if npad:
+                    chunk = np.concatenate([chunk, chunk[-1:].repeat(npad, 0)])
+                vals = np.asarray(jll(jnp.asarray(chunk)))  # host fetch = barrier
+                out.append(vals[: CH - npad])
+            return np.concatenate(out)
+
+        def log_prior_batch(xs):
+            return -0.5 * np.sum(np.asarray(xs) ** 2, axis=1) / 4.0
+
+        t0 = time.time()
+        res = smc_host(
+            0, log_prior_batch, log_lik_batch, np.asarray(x0),
+            num_mutations=3, ess_threshold=0.5, max_stages=20,
+        )
+        el = time.time() - t0
+        post = np.asarray(res.particles)
+        print(
+            f"SMC host-driven: {el:.1f}s  stages={res.num_stages}  "
+            f"beta={res.final_beta:.2f}  logZ={res.log_evidence:.1f}  "
+            f"accept={res.acceptance:.2f}"
+        )
+        n_evals = res.num_lik_evals
+        print(f"{n_evals} likelihood evals ({n_evals*N/el/1e9:.1f} B filter steps/s "
+              f"incl. compile+staging)")
+    else:
+        run = jax.jit(
+            lambda key, x0: smc(
+                key, logprior, loglik, x0, num_mutations=3, ess_threshold=0.5, max_stages=20
+            )
+        )
+        t0 = time.time()
+        res = run(k_smc, x0)
+        post = np.asarray(res.particles)
+        el = time.time() - t0
+        print(f"SMC (compile+run): {el:.1f}s  stages={int(res.num_stages)}  "
+              f"beta={float(res.final_beta):.2f}  logZ={float(res.log_evidence):.1f}")
+        t0 = time.time()
+        res = run(k_smc, x0)
+        post = np.asarray(res.particles)
+        el = time.time() - t0
+        # total likelihood evaluations: stages * (1 + mutations) * particles
+        n_evals = int(res.num_stages) * 4 * P
+        print(f"SMC (warm): {el:.1f}s  ~{n_evals} likelihood evals "
+              f"({n_evals*N/el/1e9:.1f} B filter steps/s)")
 
     med = np.exp(np.median(post, axis=0)) + 1e-3
     print(f"posterior median (l, sigma_f, sigma_n): {np.round(med, 3)}  "

@@ -143,3 +143,106 @@ def smc(
         final_beta=beta,
         acceptance=acc,
     )
+
+
+class SMCHostResult(NamedTuple):
+    particles: "object"  # (P, dim) numpy posterior particles
+    log_evidence: float
+    num_stages: int
+    final_beta: float
+    acceptance: float
+    num_lik_evals: int
+
+
+def smc_host(
+    seed: int,
+    log_prior_batch: Callable,
+    log_lik_batch: Callable,
+    x0,
+    *,
+    ess_threshold: float = 0.5,
+    num_mutations: int = 3,
+    max_stages: int = 20,
+    rw_scale: float = 0.5,
+) -> SMCHostResult:
+    """Host-driven adaptive tempered SMC for likelihoods too large to fuse
+    into one device program.
+
+    Same algorithm as ``smc`` (adaptive beta by ESS bisection, systematic
+    resampling, random-walk mutations), but the stage loop, resampling, and
+    accept/reject bookkeeping run in numpy on the host; the expensive part —
+    the likelihood of a particle batch — goes through the caller-supplied
+    ``log_lik_batch(particles) -> (P,)``, which the caller jits (and chunks)
+    however the runtime requires.  Motivation: a jitted ``smc`` over 64
+    particles of a 1M-step Kalman likelihood is a single XLA program with
+    ~8 GB of live scan state that this sandbox's remote compile service
+    never finishes compiling; host-driven staging needs only the vmapped
+    likelihood program itself (``benchmarks/million_smc.py --host``).
+
+    Bookkeeping is O(P·dim) per stage on the host — noise next to one
+    1M-step filter pass — so nothing of value is lost off-device.
+    """
+    import numpy as np
+
+    def logsumexp(a):
+        a = np.asarray(a, np.float64)
+        m = a.max()
+        return float(m + np.log(np.exp(a - m).sum()))
+
+    rng = np.random.default_rng(seed)
+    x = np.array(x0, np.float64, copy=True)
+    P, dim = x.shape
+    loglik = np.asarray(log_lik_batch(x), np.float64)
+    n_evals = P
+    beta, logZ, stage, acc = 0.0, 0.0, 0, 0.0
+
+    def ess_of(lw):
+        lw = lw - logsumexp(lw)
+        return float(np.exp(-logsumexp(2.0 * lw)))
+
+    while beta < 1.0 and stage < max_stages:
+        target = ess_threshold * P
+        if ess_of((1.0 - beta) * loglik) >= target:
+            beta_new = 1.0
+        else:
+            lo, hi = beta, 1.0
+            for _ in range(40):
+                mid = 0.5 * (lo + hi)
+                if ess_of((mid - beta) * loglik) >= target:
+                    lo = mid
+                else:
+                    hi = mid
+            beta_new = lo
+        inc = (beta_new - beta) * loglik
+        logZ += logsumexp(inc) - np.log(P)
+
+        # systematic resample on the incremental weights
+        w = np.exp(inc - logsumexp(inc))
+        cum = np.cumsum(w)
+        pts = (rng.uniform() + np.arange(P)) / P
+        idx = np.searchsorted(cum, pts)
+        x, loglik = x[idx], loglik[idx]
+
+        std = x.std(axis=0) + 1e-6
+        lp = np.asarray(log_prior_batch(x), np.float64) + beta_new * loglik
+        accs = []
+        for _ in range(num_mutations):
+            prop = x + rw_scale * std[None, :] * rng.normal(size=x.shape)
+            ll_prop = np.asarray(log_lik_batch(prop), np.float64)
+            n_evals += P
+            lp_prop = np.asarray(log_prior_batch(prop), np.float64) + beta_new * ll_prop
+            a = np.log(rng.uniform(size=P)) < lp_prop - lp
+            x[a], loglik[a], lp[a] = prop[a], ll_prop[a], lp_prop[a]
+            accs.append(float(a.mean()))
+        acc = float(np.mean(accs))
+        beta = beta_new
+        stage += 1
+
+    return SMCHostResult(
+        particles=x,
+        log_evidence=float(logZ),
+        num_stages=stage,
+        final_beta=float(beta),
+        acceptance=acc,
+        num_lik_evals=n_evals,
+    )

@@ -18,4 +18,6 @@ from gpar_at_scale_tpu.ssm.blocked import (
     blocked_filter,
     blocked_logpdf,
     blocked_smooth,
+    blocked_suffix_scan,
 )
+from gpar_at_scale_tpu.ssm.blocked_grad import blocked_loglik

@@ -277,6 +277,49 @@ def _smooth_identity(B, d, C, dtype):
     )
 
 
+def blocked_suffix_scan(E, g, L, num_blocks: int = NUM_BLOCKS):
+    """Inclusive suffix combine of smoothing-algebra elements, blocked.
+
+    out_k = elem_k o elem_{k+1} o ... o elem_{n-1} under the combine
+    (E, g, L)_earlier o (E, g, L)_later = (Ee El, Ee gl + ge, Ee Ll Ee^T + Le)
+    — the shared algebra of the RTS smoothing recursion AND the De Jong /
+    Koopman disturbance-smoother adjoint recursions
+        r_k = g_k + E_k r_{k+1}          (affine suffix)
+        N_k = L_k + E_k N_{k+1} E_k^T    (congruence suffix).
+
+    Same 3-phase schedule as ``blocked_filter``: within-block reverse scan
+    (N/B sequential depth), tiny reverse exclusive scan over block totals,
+    fully-parallel fold.  E (n, d, d), g (n, d, C), L (n, d, d)."""
+    n, d = E.shape[0], E.shape[-1]
+    C = g.shape[-1]
+    dtype = E.dtype
+    B = max(1, min(num_blocks, n))
+    T = -(-n // B)
+    pad = B * T - n
+
+    ident_pad = _smooth_identity(pad, d, C, dtype)
+    elems_b = tuple(
+        _block(jnp.concatenate([e, ip], axis=0), B, T)
+        for e, ip in zip((E, g, L), ident_pad)
+    )
+
+    def p1(carry, elem_t):
+        new = _combine_smooth(carry, elem_t)  # carry = later steps' suffix
+        return new, new
+
+    totals, suffix = jax.lax.scan(
+        p1, _smooth_identity(B, d, C, dtype), elems_b, reverse=True
+    )
+    scanned = jax.lax.associative_scan(_combine_smooth, totals, axis=0, reverse=True)
+    ident1 = _smooth_identity(1, d, C, dtype)
+    later = tuple(
+        jnp.concatenate([s[1:], i1], axis=0) for s, i1 in zip(scanned, ident1)
+    )
+    later_b = tuple(jnp.broadcast_to(x[None], (T,) + x.shape) for x in later)
+    out = _combine_smooth(later_b, suffix)
+    return tuple(_unblock(x, n) for x in out)
+
+
 @jax.default_matmul_precision("highest")
 def blocked_smooth(
     lgssm: LGSSM, y, filter_result: FilterResult = None, num_blocks: int = NUM_BLOCKS
@@ -288,44 +331,10 @@ def blocked_smooth(
     smoothed moments ARE the combined suffix elements."""
     Y, single = _ensure_batch(y)
     res = filter_result if filter_result is not None else blocked_filter(lgssm, Y, num_blocks)
-    n = lgssm.num_steps
-    d = lgssm.dim
-    C = Y.shape[1]
-    dtype = lgssm.A.dtype
-    B = max(1, min(num_blocks, n))
-    T = -(-n // B)
-    pad = B * T - n
 
     elems = _smoother_elements_fast(lgssm, res)
-    ident_pad = _smooth_identity(pad, d, C, dtype)
-    elems_b = tuple(
-        _block(jnp.concatenate([e, ip], axis=0), B, T)
-        for e, ip in zip(elems, ident_pad)
-    )
-
-    # ---- phase 1: within-block inclusive suffix (reverse scan) ----
-    def p1(carry, elem_t):
-        new = _combine_smooth(carry, elem_t)  # carry = later steps' suffix
-        return new, new
-
-    totals, suffix = jax.lax.scan(
-        p1, _smooth_identity(B, d, C, dtype), elems_b, reverse=True
-    )
-
-    # ---- phase 2: reverse exclusive scan over block totals ----
-    scanned = jax.lax.associative_scan(_combine_smooth, totals, axis=0, reverse=True)
-    ident1 = _smooth_identity(1, d, C, dtype)
-    later = tuple(
-        jnp.concatenate([s[1:], i1], axis=0) for s, i1 in zip(scanned, ident1)
-    )
-
-    # ---- phase 3: elementwise composition, fully parallel ----
-    later_b = tuple(jnp.broadcast_to(x[None], (T,) + x.shape) for x in later)
-    _, g_s, L_s = _combine_smooth(later_b, suffix)
-
-    ms = _unblock(g_s, n)
-    Ps = _unblock(L_s, n)
-    H = lgssm.H.astype(dtype)
+    _, ms, Ps = blocked_suffix_scan(*elems, num_blocks=num_blocks)
+    H = lgssm.H.astype(lgssm.A.dtype)
     f_mean = jnp.einsum("d,ndb->nb", H, ms)
     f_var = jnp.einsum("d,nde,e->n", H, Ps, H)
     if single:

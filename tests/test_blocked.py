@@ -120,6 +120,82 @@ def test_blocked_gradients_match_sequential(rng):
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_s), rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.parametrize("family", FAMS)
+def test_blocked_loglik_closed_form_vjp(family, rng):
+    """The disturbance-smoother custom VJP (``ssm/blocked_grad.py``) ==
+    jax.grad through the blocked engine, for hyperparameter gradients
+    end-to-end through ``lgssm_of`` discretization."""
+    from gpar_at_scale_tpu.ssm.blocked_grad import blocked_loglik
+
+    n = 70
+    t = jnp.array(np.sort(rng.uniform(0, 6, size=n)))
+    y = jnp.array(np.sin(np.asarray(t) * 1.7) + 0.2 * rng.normal(size=n))
+
+    def nll(p, engine):
+        k = family(lengthscale=jnp.exp(p[0]), variance=jnp.exp(p[1]))
+        lg = lgssm_of(k, t, jnp.exp(p[2]))
+        return -engine(lg, y, num_blocks=8)
+
+    p0 = jnp.array([0.2, -0.1, -1.2])
+    v_c, g_c = jax.value_and_grad(lambda p: nll(p, blocked_loglik))(p0)
+    v_a, g_a = jax.value_and_grad(lambda p: nll(p, blocked_logpdf))(p0)
+    np.testing.assert_allclose(float(v_c), float(v_a), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_a), rtol=1e-7, atol=1e-10)
+
+
+def test_blocked_loglik_vjp_general_H(rng):
+    """Closed-form VJP with a sum-of-Matern SDE: d = 5, H = [1,0,1,0,0] —
+    beyond what the Pallas disturbance-smoother path supports."""
+    from gpar_at_scale_tpu.ssm.blocked_grad import blocked_loglik
+
+    n = 40
+    t = jnp.array(np.sort(rng.uniform(0, 8, size=n)))
+    y = jnp.array(rng.normal(size=n))
+
+    def nll(p, engine):
+        k = Matern32(lengthscale=jnp.exp(p[0]), variance=0.7) + Matern52(
+            lengthscale=2.0, variance=jnp.exp(p[1])
+        )
+        lg = lgssm_of(k, t, jnp.exp(p[2]))
+        return -engine(lg, y, num_blocks=8)
+
+    p0 = jnp.array([-0.4, -0.6, -2.0])
+    g_c = jax.grad(lambda p: nll(p, blocked_loglik))(p0)
+    g_a = jax.grad(lambda p: nll(p, blocked_logpdf))(p0)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_a), rtol=1e-7, atol=1e-10)
+
+
+def test_split_fwd_bwd_matches_custom_vjp(rng):
+    """The two separately-dispatchable halves (``loglik_fwd_aux`` +
+    ``loglik_bwd`` + vjp through lgssm_of) == one-jit jax.grad — the
+    million_grad --fisher execution scheme."""
+    from gpar_at_scale_tpu.ssm.blocked_grad import loglik_bwd, loglik_fwd_aux
+
+    n = 55
+    t = jnp.array(np.sort(rng.uniform(0, 6, size=n)))
+    y = jnp.array(np.sin(np.asarray(t)) + 0.1 * rng.normal(size=n))
+
+    def arrays(p):
+        k = Matern52(lengthscale=jnp.exp(p[0]), variance=jnp.exp(p[1]))
+        lg = lgssm_of(k, t, jnp.exp(p[2]))
+        return lg.A, lg.Q, jnp.broadcast_to(lg.R, (n,)), lg.H
+
+    p0 = jnp.array([0.1, 0.3, -1.0])
+    A, Q, R, H = arrays(p0)
+    ll, aux = loglik_fwd_aux(A, Q, R, H, y, num_blocks=8)
+    dA, dQ, dR, _ = loglik_bwd(A, Q, R, H, aux, num_blocks=8)
+    _, vjp = jax.vjp(lambda p: arrays(p)[:3], p0)
+    (g_split,) = vjp((dA, dQ, dR))
+
+    def nll(p):
+        k = Matern52(lengthscale=jnp.exp(p[0]), variance=jnp.exp(p[1]))
+        return -blocked_logpdf(lgssm_of(k, t, jnp.exp(p[2])), y, num_blocks=8)
+
+    v_a, g_a = jax.value_and_grad(nll)(p0)
+    np.testing.assert_allclose(float(-ll), float(v_a), rtol=1e-10)
+    np.testing.assert_allclose(-np.asarray(g_split), np.asarray(g_a), rtol=1e-7, atol=1e-10)
+
+
 def test_blocked_smoother_gradients(rng):
     """Gradients through the blocked smoother (prediction-path training)."""
     n = 30

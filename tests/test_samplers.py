@@ -114,6 +114,39 @@ def test_smc_gaussian_evidence(key):
     np.testing.assert_allclose(float(res.log_evidence), logZ, atol=0.15)
 
 
+def test_smc_host_matches_analytic_posterior():
+    """Host-driven SMC (``smc_host`` — the million-step staging scheme) hits
+    the same closed-form Gaussian posterior and evidence as the on-device
+    ``smc``."""
+    from gpar_at_scale_tpu.inference.smc import smc_host
+
+    dim = 2
+    s2 = 0.25
+
+    def log_prior_batch(x):
+        x = np.asarray(x)
+        return -0.5 * np.sum(x * x, axis=1) - 0.5 * dim * np.log(2 * np.pi)
+
+    def log_lik_batch(x):
+        x = np.asarray(x)
+        return -0.5 * np.sum((x - 1.0) ** 2, axis=1) / s2 - 0.5 * dim * np.log(
+            2 * np.pi * s2
+        )
+
+    x0 = np.random.default_rng(0).normal(size=(2000, dim))
+    res = smc_host(1, log_prior_batch, log_lik_batch, x0, num_mutations=8)
+
+    post_mean = 1.0 / (1.0 + s2)
+    post_var = s2 / (1.0 + s2)
+    logZ = dim * (-0.5 * np.log(2 * np.pi * (1 + s2)) - 0.5 * 1.0 / (1 + s2))
+    p = res.particles
+    assert res.final_beta == 1.0
+    assert res.num_lik_evals == 2000 * (1 + 8 * res.num_stages)
+    np.testing.assert_allclose(p.mean(0), post_mean, atol=0.08)
+    np.testing.assert_allclose(p.var(0), post_var, atol=0.08)
+    np.testing.assert_allclose(res.log_evidence, logZ, atol=0.15)
+
+
 def test_nuts_gp_hyperparam_posterior(key, rng):
     """NUTS over (log_l, log_sigma_f, log_sigma_n) of an exact GP — the EEG
     config 3 shape (hyperparameter posteriors, BASELINE.json)."""
