@@ -74,19 +74,30 @@ def main():
         from gpar_at_scale_tpu.inference.smc import smc_host
 
         CH = next(
-            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--chunk=")), 8
+            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--chunk=")), 1
         )
-        jll = jax.jit(jax.vmap(loglik))
+        # chunk=1 (default here): one particle per dispatch through the plain
+        # jit(loglik) program — identical structure to the standalone filter
+        # that is known to compile and fit.  The vmapped 8-particle variant
+        # plans 62 GB of HBM through the remote compile service
+        # (results_r3/million_smc_1m_host.err) — ~8 GB per particle where the
+        # sequential program needs ~2 GB, i.e. the planner keeps all lanes'
+        # scan temporaries live; chunk>1 is only worth it on a healthy
+        # toolchain.
+        jll_1 = jax.jit(loglik)
+        jll_v = jax.jit(jax.vmap(loglik)) if CH > 1 else None
 
         def log_lik_batch(xs):
             xs = np.asarray(xs, np.float32)
+            if CH == 1:
+                return np.array([float(np.asarray(jll_1(jnp.asarray(x)))) for x in xs])
             out = []
             for i in range(0, len(xs), CH):
                 chunk = xs[i : i + CH]
                 npad = CH - len(chunk)
                 if npad:
                     chunk = np.concatenate([chunk, chunk[-1:].repeat(npad, 0)])
-                vals = np.asarray(jll(jnp.asarray(chunk)))  # host fetch = barrier
+                vals = np.asarray(jll_v(jnp.asarray(chunk)))  # host fetch = barrier
                 out.append(vals[: CH - npad])
             return np.concatenate(out)
 
