@@ -105,9 +105,12 @@ def main():
             return -0.5 * np.sum(np.asarray(xs) ** 2, axis=1) / 4.0
 
         t0 = time.time()
+        MUT = next(
+            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--mutations=")), 3
+        )
         res = smc_host(
             0, log_prior_batch, log_lik_batch, np.asarray(x0),
-            num_mutations=3, ess_threshold=0.5, max_stages=20,
+            num_mutations=MUT, ess_threshold=0.5, max_stages=20, verbose=True,
         )
         el = time.time() - t0
         post = np.asarray(res.particles)

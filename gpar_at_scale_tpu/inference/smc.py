@@ -164,6 +164,7 @@ def smc_host(
     num_mutations: int = 3,
     max_stages: int = 20,
     rw_scale: float = 0.5,
+    verbose: bool = False,
 ) -> SMCHostResult:
     """Host-driven adaptive tempered SMC for likelihoods too large to fuse
     into one device program.
@@ -182,7 +183,17 @@ def smc_host(
     Bookkeeping is O(P·dim) per stage on the host — noise next to one
     1M-step filter pass — so nothing of value is lost off-device.
     """
+    import sys
+    import time as _time
+
     import numpy as np
+
+    t_start = _time.time()
+
+    def _log(msg):
+        if verbose:
+            print(f"[smc_host +{_time.time()-t_start:7.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
 
     def logsumexp(a):
         a = np.asarray(a, np.float64)
@@ -192,8 +203,10 @@ def smc_host(
     rng = np.random.default_rng(seed)
     x = np.array(x0, np.float64, copy=True)
     P, dim = x.shape
+    _log(f"initial likelihood batch: {P} evals...")
     loglik = np.asarray(log_lik_batch(x), np.float64)
     n_evals = P
+    _log(f"initial batch done ({(_time.time()-t_start)/P:.2f} s/eval incl. compile)")
     beta, logZ, stage, acc = 0.0, 0.0, 0, 0.0
 
     def ess_of(lw):
@@ -237,6 +250,10 @@ def smc_host(
         acc = float(np.mean(accs))
         beta = beta_new
         stage += 1
+        _log(
+            f"stage {stage}: beta={beta:.4f}  logZ={logZ:.2f}  "
+            f"accept={acc:.2f}  evals={n_evals}"
+        )
 
     return SMCHostResult(
         particles=x,
