@@ -135,8 +135,13 @@ def _whiten_all(
 
     filter_fn selects the whitening engine:
       * ``None`` — auto: ``"dense"`` when (time_kernel, t) are given and
-        N <= DENSE_N_MAX, else the sequential ``kalman_filter``.
+        N <= DENSE_N_MAX, ``"blocked"`` when they are given and N is larger,
+        else the sequential ``kalman_filter``.
       * ``"dense"`` — chol(Sigma_y) backend (requires time_kernel + t).
+      * ``"blocked"`` — the blocked two-pass XLA engine via the batched
+        closed-form disturbance-smoother VJP
+        (``ssm/blocked_grad.whiten_gram``): the production million-step
+        training path; any state dim, general H.
       * ``"pallas"`` — blocked-scan TPU kernels with the batched
         disturbance-smoother VJP (differentiable; falls back to the
         associative engine for state dim > 3).
@@ -168,16 +173,23 @@ def _whiten_all(
             filter_fn = "dense"
         else:
             # Large N: the blocked two-pass engine — N/B sequential depth
-            # with a B-way lockstep inner axis; compiles in seconds and
-            # differentiates by plain jax.grad (see ssm/blocked.py; the
-            # associative engine fails to compile at N >= 1e5 through this
-            # sandbox's remote compile service and makes O(log N) HBM
-            # passes where blocked makes two).
-            from gpar_at_scale_tpu.ssm.blocked import blocked_filter
+            # with a B-way lockstep inner axis — through the batched
+            # closed-form disturbance-smoother VJP ("blocked"), so
+            # million-step DTC training never traces autodiff through the
+            # scans (see ssm/blocked_grad.whiten_gram; plain jax.grad of the
+            # fused batched filter is exact too but produces the program
+            # class that stalls this sandbox's remote compile service at
+            # N >= 1e6, and the associative engine fails to compile at
+            # N >= 1e5 there).
+            filter_fn = "blocked"
 
-            filter_fn = blocked_filter
+    if filter_fn == "blocked":
+        from gpar_at_scale_tpu.ssm.blocked_grad import whiten_gram as _bwg
 
-    if filter_fn == "dense":
+        L_uu = cholesky_psd(Kuu)
+        G, logdet_noise = _bwg(lgssm, batch)
+        aa, g, Gb = G[0, 0], G[1:, 0], G[1:, 1:]
+    elif filter_fn == "dense":
         if time_kernel is None or t is None:
             raise ValueError("dense whitening requires time_kernel and t")
         t_d = jnp.asarray(t, batch.dtype)

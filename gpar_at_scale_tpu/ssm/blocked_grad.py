@@ -136,3 +136,120 @@ def blocked_loglik(lgssm: LGSSM, y, num_blocks: int = NUM_BLOCKS):
     return _loglik_p(
         num_blocks, lgssm.A, lgssm.Q, R, lgssm.H.astype(lgssm.A.dtype), jnp.asarray(y)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched whitened-Gram VJP — the flagship scaled-GPAR DTC training path.
+#
+# The DTC bound and q(u) consume Sigma_y only through
+#     G = U^T Sigma^-1 U,   U = [y - m | K_fu]  (N, M+1)
+# and logdet Sigma (``gp/dtc.py::_whiten_all``; reference algebra at
+# ``src/gp/dtc.jl:106-125``).  This is the batched-observation-column
+# analogue of ``blocked_loglik``: every backward quantity (innovation e,
+# filtered mean m, adjoint state r, observation disturbance u = Sigma^-1 U)
+# is LINEAR in the columns of U, so the chain rule through an arbitrary Gram
+# cotangent sym(ct_G) collapses to contractions of the unrotated column
+# stack with sym(ct_G) — no per-column passes, no eigendecomposition.  Same
+# math as ``ops/pallas_grad.whiten_gram`` (see its derivation comment),
+# re-targeted at the production blocked two-pass engine, which additionally
+# handles any state dim and general emission rows H (sum kernels).
+#
+# Exact cotangents, with r_k (d, B) from the batched adjoint recursion and
+# N_k the (column-shared) information recursion run as ONE blocked suffix
+# scan:
+#     ct_Q_k = -r_k ct_sym r_k^T + ct_ld N_k
+#     ct_A_k = -2 (r_k ct_sym r_k^T A_k P_{k-1} + r_k ct_sym m_{k-1}^T)
+#              + 2 ct_ld N_k A_k P_{k-1}
+#     ct_R_k = -u_k ct_sym u_k^T + ct_ld D_k
+#     ct_U   = 2 u ct_sym
+# ---------------------------------------------------------------------------
+
+
+def whiten_fwd_aux(A, Q, R, H, U, num_blocks: int = NUM_BLOCKS):
+    """Forward half: one batched blocked filter over the column stack U
+    (N, B).  Returns (G, logdet, aux) with G = U^T Sigma^-1 U and aux =
+    (v, S, K, m, P) for ``whiten_bwd``.  R per-step (n,)."""
+    lgssm = LGSSM(A=A, Q=Q, H=H, R=R)
+    res = blocked_filter(lgssm, U, num_blocks)
+    white = res.v / jnp.sqrt(res.S)[:, None]
+    with jax.default_matmul_precision("highest"):
+        G = white.T @ white
+    logdet = jnp.sum(jnp.log(res.S))
+    K = jnp.einsum("nij,j->ni", res.Pp, H) / res.S[:, None]
+    return G, logdet, (res.v, res.S, K, res.m, res.P)
+
+
+@jax.default_matmul_precision("highest")
+def whiten_bwd(A, Q, R, H, aux, ct_G, ct_ld, num_blocks: int = NUM_BLOCKS):
+    """Backward half: batched disturbance-smoother adjoints ->
+    (ct_A, ct_Q, ct_R, ct_U).  One blocked suffix scan (shared with the
+    smoother and the single-column ``loglik_bwd``) + MXU contractions."""
+    e, S, K, m, P = aux  # e (N, B); m (N, d, B); P (N, d, d)
+    n, d = K.shape
+    dtype = A.dtype
+    I = jnp.eye(d, dtype=dtype)
+    ctsym = (0.5 * (ct_G + ct_G.T)).astype(dtype)
+    ct_ld = jnp.asarray(ct_ld, dtype)
+
+    A_next = jnp.concatenate([A[1:], jnp.zeros((1, d, d), dtype)])
+    ImKH = I[None] - K[:, :, None] * H[None, None, :]
+    C = jnp.swapaxes(A_next @ ImKH, -1, -2)  # (A_{k+1}(I - K_k H))^T
+    b = H[None, :, None] * (e / S[:, None])[:, None, :]  # (N, d, B)
+    W = (1.0 / S)[:, None, None] * (H[:, None] * H[None, :])[None]
+
+    _, r, Nmat = blocked_suffix_scan(C, b, W, num_blocks=num_blocks)
+
+    m_prev = jnp.concatenate([jnp.zeros_like(m[:1]), m[:-1]])
+    P_prev = jnp.concatenate([jnp.zeros((1, d, d), dtype), P[:-1]])
+    AP = A @ P_prev
+
+    r_next = jnp.concatenate([r[1:], jnp.zeros_like(r[:1])])
+    N_next = jnp.concatenate([Nmat[1:], jnp.zeros_like(Nmat[:1])])
+    AK = jnp.einsum("nij,nj->ni", A_next, K)  # A_{k+1} K_k
+    u = e / S[:, None] - jnp.einsum("nd,ndB->nB", AK, r_next)  # Sigma^-1 U
+    D = 1.0 / S + jnp.einsum("nd,nde,ne->n", AK, N_next, AK)
+
+    R2 = jnp.einsum("nib,bc,njc->nij", r, ctsym, r)
+    Rm = jnp.einsum("nib,bc,njc->nij", r, ctsym, m_prev)
+    ct_A = -2.0 * (R2 @ AP + Rm) + (2.0 * ct_ld) * (Nmat @ AP)
+    ct_Q = -R2 + ct_ld * Nmat
+    ct_R = -jnp.einsum("nb,bc,nc->n", u, ctsym, u) + ct_ld * D
+    ct_U = 2.0 * (u @ ctsym)
+    return ct_A, ct_Q, ct_R, ct_U
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _whiten_gram_p(num_blocks, A, Q, R, H, U):
+    G, logdet, _ = whiten_fwd_aux(A, Q, R, H, U, num_blocks)
+    return G, logdet
+
+
+def _wg_fwd(num_blocks, A, Q, R, H, U):
+    G, logdet, aux = whiten_fwd_aux(A, Q, R, H, U, num_blocks)
+    return (G, logdet), (A, Q, R, H, aux)
+
+
+def _wg_bwd(num_blocks, res, cts):
+    A, Q, R, H, aux = res
+    ct_G, ct_ld = cts
+    ct_A, ct_Q, ct_R, ct_U = whiten_bwd(A, Q, R, H, aux, ct_G, ct_ld, num_blocks)
+    return (ct_A, ct_Q, ct_R, jnp.zeros_like(H), ct_U)
+
+
+_whiten_gram_p.defvjp(_wg_fwd, _wg_bwd)
+
+
+def whiten_gram(lgssm: LGSSM, U, num_blocks: int = NUM_BLOCKS):
+    """Differentiable whitened Gram through the blocked two-pass engine:
+    (G, logdet) with G = U^T Sigma_y^-1 U — the whole Sigma_y-dependence of
+    the DTC bound and of q(u).  The custom VJP keeps forward and backward as
+    two structurally simple streaming programs (no autodiff through the
+    scans), which is what lets scaled-GPAR DTC *training* compile and run at
+    N = 1e6 (``benchmarks/million_dtc.py``).  H structural (zero cotangent),
+    as in ``blocked_loglik``."""
+    n = lgssm.num_steps
+    dtype = lgssm.A.dtype
+    R = jnp.broadcast_to(lgssm.R, (n,)).astype(dtype)
+    return _whiten_gram_p(
+        num_blocks, lgssm.A, lgssm.Q, R, lgssm.H.astype(dtype), jnp.asarray(U, dtype)
+    )

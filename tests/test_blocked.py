@@ -196,6 +196,106 @@ def test_split_fwd_bwd_matches_custom_vjp(rng):
     np.testing.assert_allclose(-np.asarray(g_split), np.asarray(g_a), rtol=1e-7, atol=1e-10)
 
 
+def test_whiten_gram_blocked_matches_autodiff(rng):
+    """Batched-column closed-form VJP (``blocked_grad.whiten_gram``) ==
+    jax.grad through the batched blocked filter — the gradient engine behind
+    million-step scaled-GPAR DTC training (``benchmarks/million_dtc.py``).
+    Checks both hyperparameter cotangents (through lgssm_of discretization)
+    and the column-stack cotangent ct_U."""
+    from gpar_at_scale_tpu.ssm.blocked_grad import whiten_gram
+
+    n, B = 45, 5
+    t = jnp.array(np.sort(rng.uniform(0, 6, size=n)))
+    U = jnp.array(rng.normal(size=(n, B)))
+    Wt = jnp.array(rng.normal(size=(B, B)))  # arbitrary (asymmetric) cotangent
+
+    def arrays(p):
+        k = Matern52(lengthscale=jnp.exp(p[0]), variance=jnp.exp(p[1]))
+        return lgssm_of(k, t, jnp.exp(p[2]))
+
+    def via_custom(p, Ucols):
+        G, ld = whiten_gram(arrays(p), Ucols, num_blocks=8)
+        return jnp.sum(G * Wt) + 0.7 * ld
+
+    def via_autodiff(p, Ucols):
+        res = blocked_filter(arrays(p), Ucols, num_blocks=8)
+        white = res.v / jnp.sqrt(res.S)[:, None]
+        return jnp.sum((white.T @ white) * Wt) + 0.7 * jnp.sum(jnp.log(res.S))
+
+    p0 = jnp.array([0.2, -0.3, -1.1])
+    v_c, (gp_c, gU_c) = jax.value_and_grad(via_custom, argnums=(0, 1))(p0, U)
+    v_a, (gp_a, gU_a) = jax.value_and_grad(via_autodiff, argnums=(0, 1))(p0, U)
+    np.testing.assert_allclose(float(v_c), float(v_a), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_a), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gU_c), np.asarray(gU_a), rtol=1e-7, atol=1e-10)
+
+
+def test_whiten_gram_blocked_general_H(rng):
+    """whiten_gram on a sum-of-Matern SDE (d = 5, H = [1,0,1,0,0]) — the
+    batched closed-form VJP is not limited to the Pallas path's d <= 3."""
+    from gpar_at_scale_tpu.ssm.blocked_grad import whiten_gram
+
+    n, B = 36, 4
+    t = jnp.array(np.sort(rng.uniform(0, 8, size=n)))
+    U = jnp.array(rng.normal(size=(n, B)))
+    Wt = jnp.array(rng.normal(size=(B, B)))
+
+    def arrays(p):
+        k = Matern32(lengthscale=jnp.exp(p[0]), variance=0.7) + Matern52(
+            lengthscale=2.0, variance=jnp.exp(p[1])
+        )
+        return lgssm_of(k, t, jnp.exp(p[2]))
+
+    def via_custom(p):
+        G, ld = whiten_gram(arrays(p), U, num_blocks=8)
+        return jnp.sum(G * Wt) + 1.3 * ld
+
+    def via_autodiff(p):
+        res = blocked_filter(arrays(p), U, num_blocks=8)
+        white = res.v / jnp.sqrt(res.S)[:, None]
+        return jnp.sum((white.T @ white) * Wt) + 1.3 * jnp.sum(jnp.log(res.S))
+
+    p0 = jnp.array([-0.4, -0.6, -2.0])
+    g_c = jax.grad(via_custom)(p0)
+    g_a = jax.grad(via_autodiff)(p0)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_a), rtol=1e-7, atol=1e-10)
+
+
+def test_whiten_split_halves_match_custom_vjp(rng):
+    """``whiten_fwd_aux`` + ``whiten_bwd`` as separate dispatches == the
+    one-jit custom VJP — the million_dtc staged execution scheme."""
+    from gpar_at_scale_tpu.ssm.blocked_grad import (
+        whiten_bwd,
+        whiten_fwd_aux,
+        whiten_gram,
+    )
+
+    n, B = 40, 3
+    t = jnp.array(np.sort(rng.uniform(0, 5, size=n)))
+    U = jnp.array(rng.normal(size=(n, B)))
+    Wt = jnp.array(rng.normal(size=(B, B)))
+    lg = lgssm_of(Matern52(lengthscale=0.9, variance=1.1), t, 0.07)
+    A, Q, H = lg.A, lg.Q, lg.H
+    R = jnp.broadcast_to(lg.R, (n,))
+
+    G, ld, aux = whiten_fwd_aux(A, Q, R, H, U, num_blocks=8)
+    ct_A, ct_Q, ct_R, ct_U = whiten_bwd(A, Q, R, H, aux, Wt, jnp.asarray(0.7), num_blocks=8)
+
+    def via_custom(A_, Q_, R_, U_):
+        from gpar_at_scale_tpu.ssm.markov import LGSSM
+
+        G2, ld2 = whiten_gram(LGSSM(A=A_, Q=Q_, H=H, R=R_), U_, num_blocks=8)
+        return jnp.sum(G2 * Wt) + 0.7 * ld2
+
+    gA, gQ, gR, gU = jax.grad(via_custom, argnums=(0, 1, 2, 3))(A, Q, R, U)
+    # grad symmetrizes ct_G internally; whiten_bwd receives raw Wt and
+    # symmetrizes identically.
+    np.testing.assert_allclose(np.asarray(ct_A), np.asarray(gA), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ct_Q), np.asarray(gQ), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ct_R), np.asarray(gR), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ct_U), np.asarray(gU), rtol=1e-8, atol=1e-12)
+
+
 def test_blocked_smoother_gradients(rng):
     """Gradients through the blocked smoother (prediction-path training)."""
     n = 30
