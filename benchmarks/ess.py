@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpar_at_scale_tpu.data.eeg import TRAIN_POINTS, load_eeg
+from gpar_at_scale_tpu.inference.diagnostics import ess as multichain_ess, split_rhat
 from gpar_at_scale_tpu.inference.hmc import effective_sample_size
 from gpar_at_scale_tpu.inference.nuts import nuts_chunked
 from gpar_at_scale_tpu.models.bayes import bounded_reparam, make_conditional_logpost
@@ -65,15 +66,25 @@ def main():
     el = time.perf_counter() - t0
 
     pooled = np.asarray(jax.vmap(jax.vmap(constrain))(res.samples))  # (C, S, 5)
+    # Headline estimator: the rigorous multi-chain Vehtari-et-al. ESS
+    # (between-chain variance deflates disagreeing chains) with split-R-hat
+    # alongside (r3 verdict weak #3 / advisor finding: the per-chain Geyer
+    # sum has no between-chain term and is optimistic).
+    mc_ess = np.atleast_1d(multichain_ess(pooled))  # (5,)
+    rhat = np.atleast_1d(split_rhat(pooled))  # (5,)
+    # Legacy per-chain Geyer sum, kept for comparability with the r2/r3 rows.
     ess_per_chain = np.stack([np.asarray(effective_sample_size(jnp.asarray(c))) for c in pooled])
-    total_ess = ess_per_chain.sum(axis=0)  # (5,)
+    geyer_sum = ess_per_chain.sum(axis=0)  # (5,)
     n_div = int(np.sum(np.asarray(res.num_divergent)))
     n_tot = chains * num_samples
     print(f"device: {jax.devices()[0]}  chains: {chains}  wall: {el:.2f}s")
     print(f"divergences: {n_div} / {n_tot} ({100.0*n_div/n_tot:.2f}%)")
     print(f"mean accept: {float(np.mean(np.asarray(res.accept_prob))):.3f}")
-    print(f"ESS (per param): {np.round(total_ess, 1)}")
-    print(f"ESS/s (min over params): {total_ess.min()/el:,.1f}")
+    print(f"split-R-hat (per param): {np.round(rhat, 4)}")
+    print(f"multi-chain ESS (per param): {np.round(mc_ess, 1)}")
+    print(f"multi-chain ESS/s (min over params): {mc_ess.min()/el:,.1f}")
+    print(f"[legacy per-chain Geyer sum ESS: {np.round(geyer_sum, 1)}; "
+          f"min/s {geyer_sum.min()/el:,.1f}]")
     print(f"samples/s: {chains*num_samples/el:,.1f}")
 
 

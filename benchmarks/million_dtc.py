@@ -1,0 +1,365 @@
+"""Scaled-GPAR DTC at 1M steps — the flagship model at north-star scale.
+
+The repo's namesake algorithm (reference: ``src/gp/dtc.jl:83-128``,
+``src/gp/gpar_scaled_inference.jl:20-136``): one conditional GP
+f = f_x (DTC over M inducing points) + f_t (temporal LGSSM), with every
+Sigma_y^{-1/2} solve running through the blocked two-pass Kalman engine.
+Three measured rows:
+
+  (a) ``whiten``  — batched whitening of the (M+1)-column stack
+      [y - m | K_fu] in ONE blocked filter pass (the K6 fix at scale).
+  (b) ``train``   — full 5-hyperparameter gradient step on the DTC bound via
+      the batched closed-form disturbance-smoother VJP
+      (``ssm/blocked_grad.whiten_gram``), staged as separately compiled
+      dispatches: prepare / forward-whiten / bound+Gram-cotangents /
+      backward-adjoint / pullback+Adam.  Plain ``jax.grad`` of the fused
+      batched filter is mathematically identical but produces the program
+      class that stalls this sandbox's remote compile service at N = 1e6
+      (BENCHMARKS.md "engine dispatch diagnosis"); the split halves compile
+      in seconds each.  ``--fused`` opts into the one-jit custom-VJP step
+      for healthy toolchains.
+  (c) ``predict`` — exact analytic predictive (``gp/dtc.py::predict_scaled``
+      algebra) at N + N* points via split filter / smoother-given-filter
+      dispatches.
+
+``--check`` (CPU): assert the staged training gradient == one-jit
+``jax.grad`` of ``dtc_objective(filter_fn="blocked")`` at small N.
+
+Usage: python benchmarks/million_dtc.py [N] [--m=32] [--steps=20]
+       [--nstar=10000] [--only=whiten|train|predict] [--check] [--cpu]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from examples._common import setup_jax  # noqa: E402
+
+jax = setup_jax(cpu="--cpu" in sys.argv, x64=False)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+_LOG_2PI = 1.8378770664093453
+
+
+def make_data(N, N_star, rng):
+    """Chained-conditional synthetic: y = f_t(t) + f_x(X) + noise, with test
+    times spliced inside the training range (the reference's prediction
+    regime, ``src/gp/gpar_scaled_inference.jl:74-87``)."""
+    t_all = np.sort(rng.uniform(0.0, N / 1000.0, size=N + N_star))
+    idx = rng.permutation(N + N_star)
+    test_idx = np.sort(idx[:N_star])
+    train_idx = np.sort(idx[N_star:])
+    t, t_star = t_all[train_idx], t_all[test_idx]
+
+    def xcols(tv):
+        return np.stack(
+            [np.sin(0.7 * tv) + 0.1 * np.cos(3.1 * tv), np.cos(0.23 * tv)], axis=1
+        )
+
+    X, X_star = xcols(t), xcols(t_star)
+    f_t = lambda tv: 0.8 * np.sin(2.2 * tv) * np.cos(0.31 * tv)
+    f_x = lambda Xv: 0.6 * np.sin(1.3 * Xv[:, 0]) + 0.4 * Xv[:, 1]
+    sn = 0.25
+    y = f_t(t) + f_x(X) + sn * rng.normal(size=N)
+    truth_star = f_t(t_star) + f_x(X_star)
+    return t, X, y, t_star, X_star, truth_star, sn
+
+
+def main():
+    from gpar_at_scale_tpu.kernels import Matern52
+    from gpar_at_scale_tpu.ssm.blocked_grad import whiten_bwd, whiten_fwd_aux
+    from gpar_at_scale_tpu.ssm.markov import lgssm_of
+    from gpar_at_scale_tpu.utils.params import pack_gpar, unpack_gpar
+
+    import optax
+
+    N = int(next((a for a in sys.argv[1:] if not a.startswith("--")), 1_000_000))
+    M = next((int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--m=")), 32)
+    STEPS = next(
+        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--steps=")), 20
+    )
+    N_star = next(
+        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--nstar=")), 10_000
+    )
+    only = next((a.split("=")[1] for a in sys.argv[1:] if a.startswith("--only=")), None)
+
+    f32 = jnp.float32
+    rng = np.random.default_rng(0)
+    t_np, X_np, y_np, ts_np, Xs_np, truth_star, true_sn = make_data(N, N_star, rng)
+    t = jnp.asarray(t_np, f32)
+    X = jnp.asarray(X_np, f32)
+    y = jnp.asarray(y_np, f32)
+    Z = jnp.asarray(X_np[:: max(1, N // M)][:M], f32)
+
+    # warm the remote compile service (r3: first compile in a process pays
+    # ~80-140 s of connection warmup regardless of program size)
+    float(np.asarray(jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64)))))
+    print(f"N={N:,}  M={Z.shape[0]}  N*={N_star:,}  device={jax.devices()[0]}", flush=True)
+
+    def build(p):
+        tl, tsig, ol, osig, ns = unpack_gpar(p)
+        time_k = Matern52(lengthscale=tl, variance=tsig**2)
+        out_k = Matern52(lengthscale=ol, variance=osig**2)
+        return time_k, out_k, ns**2
+
+    def arrays(p):
+        """p -> every input of the staged bound: LGSSM arrays, column stack
+        U = [y | K_fu], ridged K_uu (auto ridge = observation noise, the
+        reference's u-FiniteGP noise, ``src/gp/dtc.jl:35``)."""
+        time_k, out_k, nv = build(p)
+        lg = lgssm_of(time_k, t, nv, f32)
+        Kfu = out_k(X, Z)
+        U = jnp.concatenate([y[:, None], Kfu], axis=1)
+        Kuu = out_k(Z, Z) + nv * jnp.eye(Z.shape[0], dtype=f32)
+        return lg.A, lg.Q, jnp.broadcast_to(lg.R, (N,)), lg.H, U, Kuu
+
+    def bound_from_gram(G, logdet, Kuu):
+        """P-form DTC bound from the whitened Gram (same algebra as
+        ``gp/dtc.py::dtc_objective``)."""
+        with jax.default_matmul_precision("highest"):
+            aa, g, Gb = G[0, 0], G[1:, 0], G[1:, 1:]
+            L_uu = jnp.linalg.cholesky(Kuu)
+            L_P = jnp.linalg.cholesky(Gb + Kuu)
+            wp = jax.scipy.linalg.solve_triangular(L_P, g, lower=True)
+            ld = lambda L: 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            return -0.5 * (
+                N * _LOG_2PI + logdet + ld(L_P) - ld(L_uu) + aa - jnp.sum(wp**2)
+            )
+
+    p0 = jnp.asarray(pack_gpar(0.5, 1.0, 1.0, 0.7, 0.2), f32)
+
+    if "--check" in sys.argv:
+        _check(arrays, bound_from_gram, whiten_fwd_aux, whiten_bwd, build, t, X, Z, y, N)
+        return
+
+    # ---- (a) batched whitening ------------------------------------------
+    if only in (None, "whiten"):
+        A, Q, R, H, U, Kuu = jax.jit(arrays)(p0)
+
+        @jax.jit
+        def whiten_pass(A, Q, R, H, U):
+            G, logdet, _ = whiten_fwd_aux(A, Q, R, H, U)
+            return G, logdet
+
+        t0 = time.time()
+        G, ldn = whiten_pass(A, Q, R, H, U)
+        float(np.asarray(ldn))  # host fetch = true completion barrier
+        print(f"whiten compile+1st: {time.time()-t0:6.1f}s", flush=True)
+        runs = []
+        for i in range(5):
+            U2 = U + f32((i + 1) * 1e-6)  # vary args: remote service memoizes
+            t0 = time.time()
+            G, ldn = whiten_pass(A, Q, R, H, U2)
+            float(np.asarray(ldn))
+            runs.append(time.time() - t0)
+        el = min(runs)
+        print(
+            f"(a) batched whiten [{U.shape[1]} cols x {N:,} steps]: "
+            f"{el*1e3:9.2f} ms ({N/el/1e6:7.2f} M steps/s, "
+            f"{N*U.shape[1]/el/1e6:8.1f} M col-steps/s)",
+            flush=True,
+        )
+
+    # ---- (b) staged DTC training step -----------------------------------
+    if only in (None, "train"):
+        opt = optax.adam(5e-2)
+        jarr = jax.jit(arrays)
+        jfwd = jax.jit(lambda A, Q, R, H, U: whiten_fwd_aux(A, Q, R, H, U))
+
+        @jax.jit
+        def jbound(G, logdet, Kuu):
+            (val, (ct_G, ct_ld, ct_K)) = jax.value_and_grad(
+                bound_from_gram, argnums=(0, 1, 2)
+            )(G, logdet, Kuu)
+            return val, ct_G, ct_ld, ct_K
+
+        jbwd = jax.jit(whiten_bwd)
+
+        @jax.jit
+        def jpull(p, st, ct_A, ct_Q, ct_R, ct_U, ct_K):
+            _, vjp = jax.vjp(lambda pp: _drop_h(arrays(pp)), p)
+            (g,) = vjp((ct_A, ct_Q, ct_R, ct_U, ct_K))
+            g = -g / N  # minimize nll = -bound / N
+            up, st = opt.update(g, st)
+            return optax.apply_updates(p, up), st
+
+        def _drop_h(out):
+            A, Q, R, H, U, Kuu = out
+            return A, Q, R, U, Kuu
+
+        def run(p0, steps):
+            p, st = p0, opt.init(p0)
+            vals = []
+            for _ in range(steps):
+                A, Q, R, H, U, Kuu = jarr(p)
+                G, logdet, aux = jfwd(A, Q, R, H, U)
+                val, ct_G, ct_ld, ct_K = jbound(G, logdet, Kuu)
+                ct_A, ct_Q, ct_R, ct_U = jbwd(A, Q, R, H, aux, ct_G, ct_ld)
+                p, st = jpull(p, st, ct_A, ct_Q, ct_R, ct_U, ct_K)
+                vals.append(val)
+            float(np.asarray(vals[-1])) + float(np.asarray(p[0]))  # barrier
+            return p, vals
+
+        t0 = time.time()
+        p, vals = run(p0, STEPS)
+        print(f"train compile+{STEPS} steps: {time.time()-t0:6.1f}s", flush=True)
+        t0 = time.time()
+        p, vals = run(p0, STEPS)
+        steady = time.time() - t0
+        nll = [-float(np.asarray(v)) / N for v in vals]
+        tl, tsig, ol, osig, ns = (float(v) for v in unpack_gpar(p))
+        print(
+            f"(b) DTC train [5 hyperparams, M={Z.shape[0]}]: "
+            f"{steady/STEPS*1e3:9.1f} ms/step ({N*STEPS/steady/1e6:7.2f} M "
+            f"filter steps/s fwd+bwd; 5 dispatches/step)",
+            flush=True,
+        )
+        print(f"    nll/N trace: {['%.4f' % v for v in nll]}", flush=True)
+        print(
+            f"    optimized (tl, ts, ol, os, sn) = ({tl:.3f}, {tsig:.3f}, "
+            f"{ol:.3f}, {osig:.3f}, {ns:.3f})  true noise {true_sn}",
+            flush=True,
+        )
+
+    # ---- (c) analytic predictive at N + N* via split dispatches ----------
+    if only in (None, "predict"):
+        from gpar_at_scale_tpu.ssm.blocked import blocked_filter, blocked_smooth
+
+        time_k, out_k, nv = build(p0)
+        t_star = jnp.asarray(ts_np, f32)
+        X_star = jnp.asarray(Xs_np, f32)
+
+        @jax.jit
+        def q_u(p):
+            A, Q, R, H, U, Kuu = arrays(p)
+            G, logdet, _ = whiten_fwd_aux(A, Q, R, H, U)
+            with jax.default_matmul_precision("highest"):
+                g, Gb = G[1:, 0], G[1:, 1:]
+                L_uu = jnp.linalg.cholesky(Kuu)
+                # D = A A^T + I = L_uu^-1 (Gb + Kuu) L_uu^-T
+                AAt = jax.scipy.linalg.solve_triangular(
+                    L_uu,
+                    jax.scipy.linalg.solve_triangular(L_uu, Gb, lower=True).T,
+                    lower=True,
+                )
+                D = AAt + jnp.eye(AAt.shape[0], dtype=f32)
+                L_D = jnp.linalg.cholesky(0.5 * (D + D.T))
+                Aalpha = jax.scipy.linalg.solve_triangular(L_uu, g, lower=True)
+                m_eps = jax.scipy.linalg.solve_triangular(
+                    L_D.T,
+                    jax.scipy.linalg.solve_triangular(L_D, Aalpha, lower=True),
+                    lower=False,
+                )
+            return m_eps, L_D, L_uu
+
+        @jax.jit
+        def prepare(p, m_eps, L_D, L_uu):
+            """Splice train+test, build the (M+1)-column smoothing stack."""
+            time_k, out_k, nv = build(p)
+            t_all = jnp.concatenate([t, t_star])
+            V_all = jnp.concatenate([X, X_star], axis=0)
+            y_all = jnp.concatenate([y, jnp.zeros((N_star,), f32)])
+            noise_all = jnp.concatenate(
+                [jnp.full((N,), nv, f32), jnp.full((N_star,), 1e10, f32)]
+            )
+            order = jnp.argsort(t_all)
+            t_s, V_s, y_s, noise_s = (
+                t_all[order], V_all[order], y_all[order], noise_all[order]
+            )
+            lg = lgssm_of(time_k, t_s, noise_s, f32)
+            with jax.default_matmul_precision("highest"):
+                K_su = out_k(V_s, Z)
+                Phi = jax.scipy.linalg.solve_triangular(L_uu, K_su.T, lower=True).T
+                fx_bar = Phi @ m_eps
+                Gm = jax.scipy.linalg.solve_triangular(L_D, Phi.T, lower=True).T
+                cols = jnp.concatenate([(y_s - fx_bar)[:, None], Gm], axis=1)
+            return lg, cols, fx_bar, Gm, order
+
+        @jax.jit
+        def finish(sm_mean, sm_var, fx_bar, Gm, order):
+            with jax.default_matmul_precision("highest"):
+                mean_all = fx_bar + sm_mean[:, 0]
+                Hm = Gm - sm_mean[:, 1:]  # (I - S) G
+                var_all = jnp.sum(Hm * Hm, axis=1) + sm_var
+            inv = jnp.argsort(order)
+            return mean_all[inv][N:], jnp.maximum(var_all, 0.0)[inv][N:]
+
+        jfilter = jax.jit(blocked_filter)
+        jsmooth = jax.jit(
+            lambda lg, cols, fr: blocked_smooth(lg, cols, filter_result=fr)
+        )
+
+        def predict(p):
+            m_eps, L_D, L_uu = q_u(p)
+            lg, cols, fx_bar, Gm, order = prepare(p, m_eps, L_D, L_uu)
+            fr = jfilter(lg, cols)
+            sm = jsmooth(lg, cols, fr)
+            mu, var = finish(sm.mean, sm.var, fx_bar, Gm, order)
+            float(np.asarray(mu[0]))  # barrier
+            return mu, var
+
+        t0 = time.time()
+        mu, var = predict(p0)
+        print(f"predict compile+1st: {time.time()-t0:6.1f}s", flush=True)
+        t0 = time.time()
+        mu, var = predict(p0)
+        el = time.time() - t0
+        mu_np = np.asarray(mu)
+        rmse = float(np.sqrt(np.mean((mu_np - truth_star) ** 2)))
+        inside = np.mean(
+            np.abs(mu_np - truth_star) < 2 * np.sqrt(np.asarray(var) + true_sn**2)
+        )
+        print(
+            f"(c) predict [{N:,}+{N_star:,} pts, analytic, split dispatches]: "
+            f"{el:8.2f} s  ({(N+N_star)/el/1e6:6.2f} M pts/s)",
+            flush=True,
+        )
+        print(
+            f"    rmse vs latent truth {rmse:.4f} (obs noise {true_sn}); "
+            f"2-sigma coverage {inside:.3f}",
+            flush=True,
+        )
+
+
+def _check(arrays, bound_from_gram, whiten_fwd_aux, whiten_bwd, build, t, X, Z, y, N):
+    """Staged gradient == one-jit jax.grad of dtc_objective(filter_fn="blocked")."""
+    from gpar_at_scale_tpu.gp.dtc import dtc_objective
+    from gpar_at_scale_tpu.ssm.markov import lgssm_of
+
+    p = jnp.asarray([0.12, -0.2, 0.3, 0.04, -1.3], jnp.float32)
+
+    def staged(pp):
+        A, Q, R, H, U, Kuu = arrays(pp)
+        G, logdet, aux = whiten_fwd_aux(A, Q, R, H, U)
+        val, (ct_G, ct_ld, ct_K) = jax.value_and_grad(
+            bound_from_gram, argnums=(0, 1, 2)
+        )(G, logdet, Kuu)
+        ct_A, ct_Q, ct_R, ct_U = whiten_bwd(A, Q, R, H, aux, ct_G, ct_ld)
+        _, vjp = jax.vjp(lambda q: tuple(x for i, x in enumerate(arrays(q)) if i != 3), pp)
+        (g,) = vjp((ct_A, ct_Q, ct_R, ct_U, ct_K))
+        return val, g
+
+    def fused(pp):
+        time_k, out_k, nv = build(pp)
+        lg = lgssm_of(time_k, t, nv, jnp.float32)
+        return dtc_objective(
+            out_k, lg, X, Z, y, uu_ridge="auto", filter_fn="blocked"
+        )
+
+    v_s, g_s = staged(p)
+    v_f, g_f = jax.value_and_grad(fused)(p)
+    dv = abs(float(v_s) - float(v_f)) / abs(float(v_f))
+    dg = float(np.max(np.abs(np.asarray(g_s) - np.asarray(g_f))))
+    rg = dg / float(np.max(np.abs(np.asarray(g_f))))
+    print(f"check N={N}: bound rel diff {dv:.2e}; grad max abs diff {dg:.3e} "
+          f"(rel {rg:.2e})")
+    assert dv < 1e-5 and rg < 1e-4, "staged gradient mismatch"
+    print("staged == fused: OK")
+
+
+if __name__ == "__main__":
+    main()

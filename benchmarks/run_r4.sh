@@ -1,0 +1,62 @@
+#!/bin/bash
+# Round-4 benchmark queue — STRICTLY SERIAL (2 host cores; any concurrency
+# starves the TPU tunnel / remote-compile RPCs, see CLAUDE.md).
+# Each row is independently retryable; artifacts land in results_r4/.
+# Usage: bash benchmarks/run_r4.sh [start_index]
+set -u
+cd "$(dirname "$0")/.."
+R=benchmarks/results_r4
+mkdir -p "$R"
+START=${1:-0}
+i=0
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  i=$((i+1))
+  if [ $((i-1)) -lt "$START" ]; then echo "[skip $i] $name"; return; fi
+  echo "[$(date +%H:%M:%S)] [$i] $name: $*"
+  timeout "$tmo" "$@" > "$R/$name.txt" 2> "$R/$name.err"
+  local rc=$?
+  echo "exit=$rc" >> "$R/$name.txt"
+  echo "[$(date +%H:%M:%S)] [$i] $name done exit=$rc"
+}
+
+# --- flagship: scaled-GPAR DTC at 1M (VERDICT r3 item 1) -----------------
+run million_dtc_1m_whiten  2400 python benchmarks/million_dtc.py 1000000 --only=whiten
+run million_dtc_1m_train   3000 python benchmarks/million_dtc.py 1000000 --only=train --steps=20
+run million_dtc_1m_predict 2400 python benchmarks/million_dtc.py 1000000 --only=predict
+
+# --- clean exit=0 flagship filter row (item 5) ---------------------------
+run long_series_1m_filter  1800 python benchmarks/long_series.py 1000000 --only=filter
+
+# --- scale past 1M toward config 5 (item 3) ------------------------------
+run scale_filter_2m        1800 python benchmarks/long_series.py 2000000 --only=filter
+run scale_filter_4m        1800 python benchmarks/long_series.py 4000000 --only=filter
+run scale_filter_10m       2400 python benchmarks/long_series.py 10000000 --only=filter
+run scale_smooth_10m       2400 python benchmarks/long_series.py 10000000 --only=smooth-split
+run scale_fisher_10m       3000 python benchmarks/million_grad.py 10000000 30 --fisher
+
+# --- ESS story (item 4) ---------------------------------------------------
+run ess_full               2400 python benchmarks/ess.py --full
+run ess_32                 2400 python benchmarks/ess.py --chains=32
+
+# --- diagnosis artifact (item 5) ------------------------------------------
+run diag_pallas_32k        1800 python benchmarks/diag_pallas.py 32768
+
+# --- fisher trace at 1M (item 5) ------------------------------------------
+run million_grad_1m_fisher150 3000 python benchmarks/million_grad.py 1000000 150 --fisher
+
+# --- NUTS vs SMC cross-validation (item 7) --------------------------------
+run nuts_vs_smc_1e5        3600 python benchmarks/nuts_vs_smc.py 100000 --segment=10
+
+# --- map-init SMC bridge at 1M (item 8) -----------------------------------
+run million_smc_1m_mapinit 3600 python benchmarks/million_smc.py 1000000 --host --map-init
+
+# --- clean-cache CPU weak scaling rerun (advisor item 1) ------------------
+# setup_jax(cpu=True) now force-overrides the cache dir to /tmp/jax_cache_cpu;
+# wipe it first so no remote-compiled AOT executable (built for the compile
+# service's host CPU) can be loaded locally.
+rm -rf /tmp/jax_cache_cpu
+run scaling_weak           2400 python benchmarks/scaling.py --cpu --weak
+
+echo "[$(date +%H:%M:%S)] run_r4 queue complete"

@@ -25,6 +25,11 @@ def setup_jax(cpu: bool = False, x64: bool = True):
                 env.pop(v, None)
             env["_GPAR_TPU_REEXEC"] = "1"
             env["JAX_PLATFORMS"] = "cpu"
+            # FORCE the CPU cache dir (not setdefault): a pre-set shared
+            # cache would leak remote-compiled executables built for a
+            # different host's CPU features into local runs (SIGILL risk —
+            # r3 advisor finding on scaling_weak).
+            env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu"
             flags = env.get("XLA_FLAGS", "")
             if "xla_force_host_platform_device_count" not in flags:
                 env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -40,8 +45,12 @@ def setup_jax(cpu: bool = False, x64: bool = True):
             "PALLAS_AXON_TPU_GEN",
         ):
             os.environ.pop(v, None)
-    cache = "/tmp/jax_cache_cpu" if os.environ.get("JAX_PLATFORMS") == "cpu" else "/tmp/jax_cache_tpu"
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # Force-override: never let a TPU-env cache serve CPU runs (see
+        # CLAUDE.md "Compile-cache hygiene").
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu"
+    else:
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
     import jax
 
     if x64:

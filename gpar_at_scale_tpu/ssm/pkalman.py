@@ -142,7 +142,9 @@ def _smoother_elements(lgssm: LGSSM, res: FilterResult):
     """Per-step smoothing elements from the filtered moments.
 
     E_k = P_k A_{k+1}^T Pp_{k+1}^-1 ; g_k = m_k - E_k mp_{k+1} ;
-    L_k = P_k - E_k A_{k+1} P_k.  Last element: (0, m_N, P_N).
+    L_k = P_k - E_k Pp_{k+1} E_k^T  (== P_k - E_k A_{k+1} P_k, since
+    E_k Pp_{k+1} E_k^T = P_k A_{k+1}^T Pp_{k+1}^-1 A_{k+1} P_k; the code
+    uses the explicitly symmetric congruence form).  Last: (0, m_N, P_N).
     """
     A = lgssm.A
     m, P, mp, Pp = res.m, res.P, res.mp, res.Pp
