@@ -165,19 +165,30 @@ def main():
         )
 
     # ---- (b) staged DTC training step -----------------------------------
+    # THREE separately-compiled dispatches per step (fwd / bwd / pullback).
+    # Folding arrays into fwd and the bound's Gram-cotangents into bwd
+    # minimizes compile events per process: this sandbox's remote compile
+    # service stalls NONDETERMINISTICALLY per compile (measured
+    # results_r4/diag_dtc_1m*.txt: the same program compiles in ~21 s on one
+    # attempt and hangs >420 s on another, even a 64x64 warmup jit can
+    # hang), so fewer compiles = fewer stall rolls; the queue retries the
+    # whole row on a stall.
     if only in (None, "train"):
         opt = optax.adam(5e-2)
-        jarr = jax.jit(arrays)
-        jfwd = jax.jit(lambda A, Q, R, H, U: whiten_fwd_aux(A, Q, R, H, U))
 
         @jax.jit
-        def jbound(G, logdet, Kuu):
-            (val, (ct_G, ct_ld, ct_K)) = jax.value_and_grad(
+        def jfwd(p):
+            A, Q, R, H, U, Kuu = arrays(p)
+            G, logdet, aux = whiten_fwd_aux(A, Q, R, H, U)
+            return A, Q, R, H, U, Kuu, G, logdet, aux
+
+        @jax.jit
+        def jbwd(A, Q, R, H, Kuu, G, logdet, aux):
+            val, (ct_G, ct_ld, ct_K) = jax.value_and_grad(
                 bound_from_gram, argnums=(0, 1, 2)
             )(G, logdet, Kuu)
-            return val, ct_G, ct_ld, ct_K
-
-        jbwd = jax.jit(whiten_bwd)
+            ct_A, ct_Q, ct_R, ct_U = whiten_bwd(A, Q, R, H, aux, ct_G, ct_ld)
+            return val, ct_A, ct_Q, ct_R, ct_U, ct_K
 
         @jax.jit
         def jpull(p, st, ct_A, ct_Q, ct_R, ct_U, ct_K):
@@ -191,21 +202,34 @@ def main():
             A, Q, R, H, U, Kuu = out
             return A, Q, R, U, Kuu
 
-        def run(p0, steps):
+        def run(p0, steps, verbose=False):
+            # jit calls block on COMPILE (execution is async), so first-step
+            # pre-prints name the staller even when it never returns.
             p, st = p0, opt.init(p0)
             vals = []
-            for _ in range(steps):
-                A, Q, R, H, U, Kuu = jarr(p)
-                G, logdet, aux = jfwd(A, Q, R, H, U)
-                val, ct_G, ct_ld, ct_K = jbound(G, logdet, Kuu)
-                ct_A, ct_Q, ct_R, ct_U = jbwd(A, Q, R, H, aux, ct_G, ct_ld)
-                p, st = jpull(p, st, ct_A, ct_Q, ct_R, ct_U, ct_K)
+
+            def timed(name, first, fn, *a):
+                if not first:
+                    return fn(*a)
+                print(f"  [first step] {name}...", end="", flush=True)
+                t0 = time.time()
+                out = fn(*a)
+                print(f" {time.time()-t0:.1f}s", flush=True)
+                return out
+
+            for s_i in range(steps):
+                first = verbose and s_i == 0
+                A, Q, R, H, U, Kuu, G, logdet, aux = timed("jfwd", first, jfwd, p)
+                val, ct_A, ct_Q, ct_R, ct_U, ct_K = timed(
+                    "jbwd", first, jbwd, A, Q, R, H, Kuu, G, logdet, aux
+                )
+                p, st = timed("jpull", first, jpull, p, st, ct_A, ct_Q, ct_R, ct_U, ct_K)
                 vals.append(val)
             float(np.asarray(vals[-1])) + float(np.asarray(p[0]))  # barrier
             return p, vals
 
         t0 = time.time()
-        p, vals = run(p0, STEPS)
+        p, vals = run(p0, STEPS, verbose=True)
         print(f"train compile+{STEPS} steps: {time.time()-t0:6.1f}s", flush=True)
         t0 = time.time()
         p, vals = run(p0, STEPS)
@@ -215,7 +239,7 @@ def main():
         print(
             f"(b) DTC train [5 hyperparams, M={Z.shape[0]}]: "
             f"{steady/STEPS*1e3:9.1f} ms/step ({N*STEPS/steady/1e6:7.2f} M "
-            f"filter steps/s fwd+bwd; 5 dispatches/step)",
+            f"filter steps/s fwd+bwd; 3 dispatches/step)",
             flush=True,
         )
         print(f"    nll/N trace: {['%.4f' % v for v in nll]}", flush=True)
@@ -292,13 +316,50 @@ def main():
         jsmooth = jax.jit(
             lambda lg, cols, fr: blocked_smooth(lg, cols, filter_result=fr)
         )
+        # --chunk-cols=K: run the filter+smoother over the M+1 columns in
+        # K-column chunks sharing ONE compile each (the 33-column
+        # smooth-given program drew repeated remote-compile stalls in
+        # diag_dtc_1m; the K-column program is the r3-proven low-column
+        # class).  Smoothing is per-column independent given the shared
+        # (E, L) algebra, so chunked == fused exactly.
+        chunk = next(
+            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--chunk-cols=")),
+            0,
+        )
+        if chunk:
+            jslice = jax.jit(
+                lambda c, j: jax.lax.dynamic_slice_in_dim(c, j, chunk, 1)
+            )
+            jpad = jax.jit(
+                lambda c: jnp.pad(c, ((0, 0), (0, (-c.shape[1]) % chunk)))
+            )
+            jcat = jax.jit(
+                lambda ms, ncols: jnp.concatenate(ms, axis=1)[:, :ncols],
+                static_argnums=1,
+            )
 
         def predict(p):
             m_eps, L_D, L_uu = q_u(p)
             lg, cols, fx_bar, Gm, order = prepare(p, m_eps, L_D, L_uu)
-            fr = jfilter(lg, cols)
-            sm = jsmooth(lg, cols, fr)
-            mu, var = finish(sm.mean, sm.var, fx_bar, Gm, order)
+            if chunk:
+                ncols = cols.shape[1]
+                pad = (-ncols) % chunk
+                if pad:
+                    cols = jpad(cols)
+                means = []
+                sm_var = None
+                for j in range(0, ncols + pad, chunk):
+                    cj = jslice(cols, j)
+                    fr = jfilter(lg, cj)
+                    sm = jsmooth(lg, cj, fr)
+                    means.append(sm.mean)
+                    sm_var = sm.var
+                sm_mean = jcat(tuple(means), ncols)
+            else:
+                fr = jfilter(lg, cols)
+                sm = jsmooth(lg, cols, fr)
+                sm_mean, sm_var = sm.mean, sm.var
+            mu, var = finish(sm_mean, sm_var, fx_bar, Gm, order)
             float(np.asarray(mu[0]))  # barrier
             return mu, var
 

@@ -10,21 +10,34 @@ mkdir -p "$R"
 START=${1:-0}
 i=0
 
+# Persistent compile cache for ALL TPU rows: the remote compile service
+# stalls NONDETERMINISTICALLY (diag_dtc_1m: the same program compiles in
+# 21 s on one attempt and stalls >420 s on another; even a 64x64 warmup jit
+# can hang).  Successful compiles persist here, so retry-by-restart
+# converges program by program.  CPU rows force-override to
+# /tmp/jax_cache_cpu in setup_jax (never share the two).
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_tpu
+export JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES=none
+
 run() {
   local name=$1 tmo=$2; shift 2
   i=$((i+1))
   if [ $((i-1)) -lt "$START" ]; then echo "[skip $i] $name"; return; fi
-  echo "[$(date +%H:%M:%S)] [$i] $name: $*"
-  timeout "$tmo" "$@" > "$R/$name.txt" 2> "$R/$name.err"
-  local rc=$?
-  echo "exit=$rc" >> "$R/$name.txt"
-  echo "[$(date +%H:%M:%S)] [$i] $name done exit=$rc"
+  local att rc
+  for att in 1 2 3; do
+    echo "[$(date +%H:%M:%S)] [$i] $name (attempt $att): $*"
+    timeout "$tmo" "$@" > "$R/$name.txt" 2> "$R/$name.err"
+    rc=$?
+    echo "exit=$rc attempt=$att" >> "$R/$name.txt"
+    echo "[$(date +%H:%M:%S)] [$i] $name attempt $att exit=$rc"
+    [ "$rc" -eq 0 ] && break
+  done
 }
 
 # --- flagship: scaled-GPAR DTC at 1M (VERDICT r3 item 1) -----------------
 run million_dtc_1m_whiten  2400 python benchmarks/million_dtc.py 1000000 --only=whiten
 run million_dtc_1m_train   3000 python benchmarks/million_dtc.py 1000000 --only=train --steps=20
-run million_dtc_1m_predict 2400 python benchmarks/million_dtc.py 1000000 --only=predict
+run million_dtc_1m_predict 2400 python benchmarks/million_dtc.py 1000000 --only=predict --chunk-cols=8
 
 # --- clean exit=0 flagship filter row (item 5) ---------------------------
 run long_series_1m_filter  1800 python benchmarks/long_series.py 1000000 --only=filter
