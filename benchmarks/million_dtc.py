@@ -190,6 +190,46 @@ def main():
             ct_A, ct_Q, ct_R, ct_U = whiten_bwd(A, Q, R, H, aux, ct_G, ct_ld)
             return val, ct_A, ct_Q, ct_R, ct_U, ct_K
 
+        # --bwd-chunk=K (default 8): stage the backward as
+        # bound-grads / elements / K-column suffix-scan chunks / scores —
+        # the fused wide-column jbwd program stalled the remote compile
+        # service on every attempt (r4 measured: wide-suffix-scan programs
+        # 0/5 vs narrow ones and wide FORWARD filters compiling in ~20-30 s;
+        # the affine adjoint recursion is per-column independent, so
+        # chunked == fused exactly).  --bwd-chunk=0 opts back into the
+        # one-program jbwd for healthy toolchains.
+        BK = next(
+            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--bwd-chunk=")),
+            8,
+        )
+        if BK:
+            from gpar_at_scale_tpu.ssm.blocked import blocked_suffix_scan
+            from gpar_at_scale_tpu.ssm.blocked_grad import (
+                whiten_bwd_elements,
+                whiten_bwd_scores,
+            )
+
+            @jax.jit
+            def jbound(G, logdet, Kuu):
+                val, (ct_G, ct_ld, ct_K) = jax.value_and_grad(
+                    bound_from_gram, argnums=(0, 1, 2)
+                )(G, logdet, Kuu)
+                return val, ct_G, ct_ld, ct_K
+
+            jelems = jax.jit(whiten_bwd_elements)
+            jpad_b = jax.jit(
+                lambda b: jnp.pad(b, ((0, 0), (0, 0), (0, (-b.shape[2]) % BK)))
+            )
+            jslice_b = jax.jit(
+                lambda b, j: jax.lax.dynamic_slice_in_dim(b, j, BK, 2)
+            )
+            jsuffix = jax.jit(lambda C, bc, W: blocked_suffix_scan(C, bc, W))
+            jcat_r = jax.jit(
+                lambda rs, ncols: jnp.concatenate(rs, axis=2)[:, :, :ncols],
+                static_argnums=1,
+            )
+            jscores = jax.jit(whiten_bwd_scores)
+
         @jax.jit
         def jpull(p, st, ct_A, ct_Q, ct_R, ct_U, ct_K):
             _, vjp = jax.vjp(lambda pp: _drop_h(arrays(pp)), p)
@@ -220,9 +260,27 @@ def main():
             for s_i in range(steps):
                 first = verbose and s_i == 0
                 A, Q, R, H, U, Kuu, G, logdet, aux = timed("jfwd", first, jfwd, p)
-                val, ct_A, ct_Q, ct_R, ct_U, ct_K = timed(
-                    "jbwd", first, jbwd, A, Q, R, H, Kuu, G, logdet, aux
-                )
+                if BK:
+                    val, ct_G, ct_ld, ct_K = timed("jbound", first, jbound, G, logdet, Kuu)
+                    C, b, W = timed("jelems", first, jelems, A, H, aux)
+                    b = timed("jpad_b", first, jpad_b, b)
+                    ncols = U.shape[1]
+                    rs, Nmat = [], None
+                    for j in range(0, b.shape[2], BK):
+                        _, r_c, Nm = timed(
+                            f"jsuffix[{j}]", first, jsuffix, C, jslice_b(b, j), W
+                        )
+                        rs.append(r_c)
+                        if Nmat is None:
+                            Nmat = Nm
+                    r = timed("jcat_r", first, jcat_r, tuple(rs), ncols)
+                    ct_A, ct_Q, ct_R, ct_U = timed(
+                        "jscores", first, jscores, A, Q, R, H, aux, r, Nmat, ct_G, ct_ld
+                    )
+                else:
+                    val, ct_A, ct_Q, ct_R, ct_U, ct_K = timed(
+                        "jbwd", first, jbwd, A, Q, R, H, Kuu, G, logdet, aux
+                    )
                 p, st = timed("jpull", first, jpull, p, st, ct_A, ct_Q, ct_R, ct_U, ct_K)
                 vals.append(val)
             float(np.asarray(vals[-1])) + float(np.asarray(p[0]))  # barrier
@@ -236,10 +294,11 @@ def main():
         steady = time.time() - t0
         nll = [-float(np.asarray(v)) / N for v in vals]
         tl, tsig, ol, osig, ns = (float(v) for v in unpack_gpar(p))
+        ndisp = 3 if not BK else 7 + -(-(Z.shape[0] + 1) // BK)
         print(
             f"(b) DTC train [5 hyperparams, M={Z.shape[0]}]: "
             f"{steady/STEPS*1e3:9.1f} ms/step ({N*STEPS/steady/1e6:7.2f} M "
-            f"filter steps/s fwd+bwd; 3 dispatches/step)",
+            f"filter steps/s fwd+bwd; ~{ndisp} dispatches/step)",
             flush=True,
         )
         print(f"    nll/N trace: {['%.4f' % v for v in nll]}", flush=True)

@@ -180,25 +180,38 @@ def whiten_fwd_aux(A, Q, R, H, U, num_blocks: int = NUM_BLOCKS):
 
 
 @jax.default_matmul_precision("highest")
-def whiten_bwd(A, Q, R, H, aux, ct_G, ct_ld, num_blocks: int = NUM_BLOCKS):
-    """Backward half: batched disturbance-smoother adjoints ->
-    (ct_A, ct_Q, ct_R, ct_U).  One blocked suffix scan (shared with the
-    smoother and the single-column ``loglik_bwd``) + MXU contractions."""
-    e, S, K, m, P = aux  # e (N, B); m (N, d, B); P (N, d, d)
+def whiten_bwd_elements(A, H, aux):
+    """Backward stage 1: the (C, b, W) suffix-scan elements (elementwise).
+
+    b carries the column batch; C and W are column-shared — so the scan
+    itself (stage 2, ``blocked_suffix_scan``) may be dispatched over COLUMN
+    CHUNKS of b, each reusing one compiled program.  (This sandbox's remote
+    compile service repeatedly stalls on wide-column suffix-scan programs
+    while compiling narrow ones — see results_r4/diag_dtc_1m*.txt — and the
+    affine recursion is per-column independent, so chunked == fused.)"""
+    e, S, K, m, P = aux
     n, d = K.shape
     dtype = A.dtype
     I = jnp.eye(d, dtype=dtype)
-    ctsym = (0.5 * (ct_G + ct_G.T)).astype(dtype)
-    ct_ld = jnp.asarray(ct_ld, dtype)
-
     A_next = jnp.concatenate([A[1:], jnp.zeros((1, d, d), dtype)])
     ImKH = I[None] - K[:, :, None] * H[None, None, :]
     C = jnp.swapaxes(A_next @ ImKH, -1, -2)  # (A_{k+1}(I - K_k H))^T
     b = H[None, :, None] * (e / S[:, None])[:, None, :]  # (N, d, B)
     W = (1.0 / S)[:, None, None] * (H[:, None] * H[None, :])[None]
+    return C, b, W
 
-    _, r, Nmat = blocked_suffix_scan(C, b, W, num_blocks=num_blocks)
 
+@jax.default_matmul_precision("highest")
+def whiten_bwd_scores(A, Q, R, H, aux, r, Nmat, ct_G, ct_ld):
+    """Backward stage 3: scores from the scanned adjoints (r, Nmat) ->
+    (ct_A, ct_Q, ct_R, ct_U).  Pure elementwise/MXU contractions."""
+    e, S, K, m, P = aux
+    n, d = K.shape
+    dtype = A.dtype
+    ctsym = (0.5 * (ct_G + ct_G.T)).astype(dtype)
+    ct_ld = jnp.asarray(ct_ld, dtype)
+
+    A_next = jnp.concatenate([A[1:], jnp.zeros((1, d, d), dtype)])
     m_prev = jnp.concatenate([jnp.zeros_like(m[:1]), m[:-1]])
     P_prev = jnp.concatenate([jnp.zeros((1, d, d), dtype), P[:-1]])
     AP = A @ P_prev
@@ -216,6 +229,17 @@ def whiten_bwd(A, Q, R, H, aux, ct_G, ct_ld, num_blocks: int = NUM_BLOCKS):
     ct_R = -jnp.einsum("nb,bc,nc->n", u, ctsym, u) + ct_ld * D
     ct_U = 2.0 * (u @ ctsym)
     return ct_A, ct_Q, ct_R, ct_U
+
+
+def whiten_bwd(A, Q, R, H, aux, ct_G, ct_ld, num_blocks: int = NUM_BLOCKS):
+    """Backward half: batched disturbance-smoother adjoints ->
+    (ct_A, ct_Q, ct_R, ct_U).  One blocked suffix scan (shared with the
+    smoother and the single-column ``loglik_bwd``) + MXU contractions.
+    Staged entry points: ``whiten_bwd_elements`` / ``blocked_suffix_scan``
+    / ``whiten_bwd_scores``."""
+    C, b, W = whiten_bwd_elements(A, H, aux)
+    _, r, Nmat = blocked_suffix_scan(C, b, W, num_blocks=num_blocks)
+    return whiten_bwd_scores(A, Q, R, H, aux, r, Nmat, ct_G, ct_ld)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
