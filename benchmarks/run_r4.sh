@@ -24,27 +24,31 @@ run() {
   i=$((i+1))
   if [ $((i-1)) -lt "$START" ]; then echo "[skip $i] $name"; return; fi
   local att rc
-  for att in 1 2 3; do
+  for att in 1 2 3 4; do
     echo "[$(date +%H:%M:%S)] [$i] $name (attempt $att): $*"
     timeout "$tmo" "$@" > "$R/$name.txt" 2> "$R/$name.err"
     rc=$?
     echo "exit=$rc attempt=$att" >> "$R/$name.txt"
     echo "[$(date +%H:%M:%S)] [$i] $name attempt $att exit=$rc"
     [ "$rc" -eq 0 ] && break
+    # A killed-mid-compile client can leave the remote service wedged for a
+    # while (r3: "a client started while the worker restarts hangs
+    # indefinitely"); cool down before retrying.
+    sleep 90
   done
 }
 
 # --- flagship: scaled-GPAR DTC at 1M (VERDICT r3 item 1) -----------------
 run million_dtc_1m_whiten  2400 python benchmarks/million_dtc.py 1000000 --only=whiten
-run million_dtc_1m_train   3000 python benchmarks/million_dtc.py 1000000 --only=train --steps=20
-run million_dtc_1m_predict 2400 python benchmarks/million_dtc.py 1000000 --only=predict --chunk-cols=8
+run million_dtc_1m_train   1500 python benchmarks/million_dtc.py 1000000 --only=train --steps=20
+run million_dtc_1m_predict 1500 python benchmarks/million_dtc.py 1000000 --only=predict --chunk-cols=8
 
 # --- clean exit=0 flagship filter row (item 5) ---------------------------
-run long_series_1m_filter  1800 python benchmarks/long_series.py 1000000 --only=filter
+run long_series_1m_filter  1200 python benchmarks/long_series.py 1000000 --only=filter
 
 # --- scale past 1M toward config 5 (item 3) ------------------------------
-run scale_filter_2m        1800 python benchmarks/long_series.py 2000000 --only=filter
-run scale_filter_4m        1800 python benchmarks/long_series.py 4000000 --only=filter
+run scale_filter_2m        1200 python benchmarks/long_series.py 2000000 --only=filter
+run scale_filter_4m        1200 python benchmarks/long_series.py 4000000 --only=filter
 run scale_filter_10m       2400 python benchmarks/long_series.py 10000000 --only=filter
 run scale_smooth_10m       2400 python benchmarks/long_series.py 10000000 --only=smooth-split
 run scale_fisher_10m       3000 python benchmarks/million_grad.py 10000000 30 --fisher
