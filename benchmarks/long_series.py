@@ -9,7 +9,8 @@ Compares the Kalman whitening engines on one chip:
     through this sandbox's axon relay — see BENCHMARKS.md diagnosis)
 
 Usage: python benchmarks/long_series.py [N] [--no-seq] [--assoc] [--pallas]
-       [--chunk=K] [--blocks=B] [--only=filter|smooth|seq|assoc]
+       [--chunk=K] [--blocks=B] [--reps=R] [--segment=S]
+       [--only=filter|smooth|smooth-split|segfilter|segsmooth|seq|assoc]
 
 ``--only``: run a single engine row (the remote compile service occasionally
 stalls many minutes on one program; one-row-per-process keeps each artifact
@@ -49,6 +50,15 @@ def main():
     nblocks = next(
         (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--blocks=")),
         _blocked.NUM_BLOCKS,
+    )
+    # --reps: iterations of the amortizing rep-scan.  XLA's buffer planner
+    # keeps every rep-scan iteration's scan temporaries live (~1.44 GB of
+    # HBM PLAN per 1M steps per rep — measured: reps=10 at N=2e6 plans
+    # 28.8 G > 15.75 G and is a compile-time OOM, results_r4/
+    # scale_filter_2m.err), so large N needs small reps.  Dispatch RTT
+    # (~29 ms) is negligible against multi-hundred-ms passes at these N.
+    reps_f = next(
+        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--reps=")), 10
     )
     rng = np.random.default_rng(0)
     t = jnp.asarray(np.cumsum(rng.uniform(0.5, 1.5, N)) / 1000.0, jnp.float32)
@@ -96,13 +106,13 @@ def main():
         el_b = bench(
             f"blocked filter B={nblocks}",
             lambda: blocked_decorrelate(lg, y, num_blocks=nblocks),
-            10,
+            reps_f,
         )
     if only in (None, "smooth"):
         bench(
             f"blocked smooth B={nblocks}",
             lambda: blocked_smooth(lg, y, num_blocks=nblocks),
-            5,
+            max(1, reps_f // 2),
         )
     if only == "smooth-split":
         # The fused filter+smoother program stalls the remote compile
@@ -136,6 +146,58 @@ def main():
             f"({N/el/1e6:7.2f} M steps/s; incl. ~29 ms tunnel RTT)",
             flush=True,
         )
+    if only in ("segfilter", "segsmooth"):
+        # Segmented streaming engine (ssm/segmented.py): N beyond the
+        # ~1.1e6-per-dispatch XLA:TPU buffer-plan ceiling (~14.4 GB plan per
+        # 1M steps measured r4) via exact state-carried segment dispatches.
+        from gpar_at_scale_tpu.ssm.segmented import (
+            SEGMENT_SIZE,
+            segmented_decorrelate,
+            segmented_smooth,
+        )
+
+        seg = next(
+            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--segment=")),
+            SEGMENT_SIZE,
+        )
+        nseg = -(-N // seg)
+
+        def bench_host(name, fn, reps=3):
+            t0 = time.time()
+            first = float(np.asarray(fn(0)))
+            c = time.time() - t0
+            runs = []
+            for i in range(1, reps + 1):
+                t0 = time.time()
+                float(np.asarray(fn(i)))  # host fetch = completion barrier
+                runs.append(time.time() - t0)
+            el = min(runs)
+            print(
+                f"{name:>22}: compile+1st {c:6.1f}s  run {el*1e3:9.2f} ms "
+                f"({N/el/1e6:7.2f} M steps/s; {nseg} dispatches)  ll={first:.1f}",
+                flush=True,
+            )
+
+        if only == "segfilter":
+
+            def run_f(i):
+                ll, _ = segmented_decorrelate(
+                    lg, y + jnp.float32(i * 1e-6), segment_size=seg,
+                    num_blocks=nblocks,
+                )
+                return ll
+
+            bench_host(f"seg filter s={seg}", run_f)
+        else:
+
+            def run_s(i):
+                sm = segmented_smooth(
+                    lg, y + jnp.float32(i * 1e-6), segment_size=seg,
+                    num_blocks=nblocks,
+                )
+                return sm.ll[0] + sm.mean[-1]
+
+            bench_host(f"seg smooth s={seg}", run_s)
     if "--pallas" in sys.argv:
         if chunk:
             from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate_chunked

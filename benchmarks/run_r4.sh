@@ -47,11 +47,12 @@ run million_dtc_1m_predict 1500 python benchmarks/million_dtc.py 1000000 --only=
 run long_series_1m_filter  1200 python benchmarks/long_series.py 1000000 --only=filter
 
 # --- scale past 1M toward config 5 (item 3) ------------------------------
-run scale_filter_2m        1200 python benchmarks/long_series.py 2000000 --only=filter
-run scale_filter_4m        1200 python benchmarks/long_series.py 4000000 --only=filter
-run scale_filter_10m       2400 python benchmarks/long_series.py 10000000 --only=filter
-run scale_smooth_10m       2400 python benchmarks/long_series.py 10000000 --only=smooth-split
-run scale_fisher_10m       3000 python benchmarks/million_grad.py 10000000 30 --fisher
+run scale_filter_2m        1500 python benchmarks/long_series.py 2000000 --only=segfilter --segment=1000000
+run scale_filter_4m        1500 python benchmarks/long_series.py 4000000 --only=segfilter --segment=1000000
+run scale_filter_10m       2400 python benchmarks/long_series.py 10000000 --only=segfilter --segment=1000000
+run scale_smooth_10m       2400 python benchmarks/long_series.py 10000000 --only=segsmooth --segment=500000
+# scale_fisher_10m: single-dispatch fwd plan ~14.4 GB/M steps OOMs beyond ~1.1e6;
+# segmented-gradient variant measured separately (see scale_fisher rows below)
 
 # --- ESS story (item 4) ---------------------------------------------------
 run ess_full               2400 python benchmarks/ess.py --full

@@ -137,9 +137,18 @@ def _unblock(x, n):
 
 
 @jax.default_matmul_precision("highest")
-def blocked_filter(lgssm: LGSSM, y, num_blocks: int = NUM_BLOCKS) -> FilterResult:
+def blocked_filter(
+    lgssm: LGSSM, y, num_blocks: int = NUM_BLOCKS, init=None
+) -> FilterResult:
     """Forward filter with batched observation columns; FilterResult parity
-    with ``kalman_filter`` at N/B sequential depth."""
+    with ``kalman_filter`` at N/B sequential depth.
+
+    init: optional (m0 (d, C), P0 (d, d)) FILTERED state of the step just
+    before this series — the segment-carry hook of ``ssm/segmented.py``.
+    Injected as the filtering element (A=0, b=m0, C=P0, eta=0, J=0)
+    prepended to every block's phase-2 prefix, so the whole segment
+    conditions on it exactly.  ``None`` = the LGSSM's own prior (A_0 = 0,
+    Q_0 = Pinf enters through step 0's element, unchanged behavior)."""
     Y, _ = _ensure_batch(y)
     n = lgssm.num_steps
     d = lgssm.dim
@@ -169,6 +178,17 @@ def blocked_filter(lgssm: LGSSM, y, num_blocks: int = NUM_BLOCKS) -> FilterResul
     prefixed = tuple(
         jnp.concatenate([i1, s[:-1]], axis=0) for i1, s in zip(ident1, scanned)
     )
+    if init is not None:
+        m_c, P_c = init
+        e_c = (
+            jnp.zeros((1, d, d), dtype),
+            jnp.asarray(m_c, dtype).reshape(1, d, C),
+            jnp.asarray(P_c, dtype).reshape(1, d, d),
+            jnp.zeros((1, d, C), dtype),
+            jnp.zeros((1, d, d), dtype),
+        )
+        e_cb = tuple(jnp.broadcast_to(e, (B,) + e.shape[1:]) for e in e_c)
+        prefixed = _combine_fast(e_cb, prefixed)  # carry is EARLIER than all
     m0 = prefixed[1]  # (B, d, C) filtered mean entering each block
     P0 = prefixed[2]  # (B, d, d)
 
@@ -234,10 +254,15 @@ def blocked_decorrelate(lgssm: LGSSM, y, num_blocks: int = NUM_BLOCKS):
 # ---------------------------------------------------------------------------
 
 
-def _smoother_elements_fast(lgssm: LGSSM, res: FilterResult):
+def _smoother_elements_fast(lgssm: LGSSM, res: FilterResult, next_step=None):
     """(E, g, L) smoothing elements, adjugate-inverse variant of
     ``pkalman._smoother_elements`` (no batched LU over N matrices).
-    Pp is a predicted covariance (>= Q > 0), safe to invert directly."""
+    Pp is a predicted covariance (>= Q > 0), safe to invert directly.
+
+    next_step: optional (A, mp, Pp) of the step AFTER this series (a later
+    segment's first step): the last element is then a REGULAR smoothing
+    element toward that step instead of the terminal (0, m_n, P_n) — the
+    segment-carry hook of ``ssm/segmented.py``."""
     A = lgssm.A
     m, P, mp, Pp = res.m, res.P, res.mp, res.Pp
     d = A.shape[-1]
@@ -245,10 +270,20 @@ def _smoother_elements_fast(lgssm: LGSSM, res: FilterResult):
     A_next = A[1:]
     Pp_next = Pp[1:]
     mp_next = mp[1:]
-    PAt = jnp.einsum("nab,ncb->nac", P[:-1], A_next)  # P_k A_{k+1}^T
+    if next_step is not None:
+        A1, mp1, Pp1 = next_step
+        A_next = jnp.concatenate([A_next, A1.reshape(1, d, d)], axis=0)
+        Pp_next = jnp.concatenate([Pp_next, Pp1.reshape(1, d, d)], axis=0)
+        mp_next = jnp.concatenate([mp_next, mp1.reshape((1,) + mp.shape[1:])], axis=0)
+        m_head, P_head = m, P
+    else:
+        m_head, P_head = m[:-1], P[:-1]
+    PAt = jnp.einsum("nab,ncb->nac", P_head, A_next)  # P_k A_{k+1}^T
     E = PAt @ _inv_small(Pp_next)
-    g = m[:-1] - jnp.einsum("nab,nbB->naB", E, mp_next)
-    L = P[:-1] - E @ Pp_next @ jnp.swapaxes(E, -1, -2)
+    g = m_head - jnp.einsum("nab,nbB->naB", E, mp_next)
+    L = P_head - E @ Pp_next @ jnp.swapaxes(E, -1, -2)
+    if next_step is not None:
+        return E, g, L
 
     E_last = jnp.zeros((1, d, d), A.dtype)
     return (
@@ -277,7 +312,7 @@ def _smooth_identity(B, d, C, dtype):
     )
 
 
-def blocked_suffix_scan(E, g, L, num_blocks: int = NUM_BLOCKS):
+def blocked_suffix_scan(E, g, L, num_blocks: int = NUM_BLOCKS, terminal=None):
     """Inclusive suffix combine of smoothing-algebra elements, blocked.
 
     out_k = elem_k o elem_{k+1} o ... o elem_{n-1} under the combine
@@ -286,6 +321,12 @@ def blocked_suffix_scan(E, g, L, num_blocks: int = NUM_BLOCKS):
     Koopman disturbance-smoother adjoint recursions
         r_k = g_k + E_k r_{k+1}          (affine suffix)
         N_k = L_k + E_k N_{k+1} E_k^T    (congruence suffix).
+
+    terminal: optional element (g_t (d, C), L_t (d, d)) appended AFTER the
+    last step with E_t = 0 — the segment-carry hook of ``ssm/segmented.py``:
+    out_k = elem_k o ... o elem_{n-1} o (0, g_t, L_t), i.e. the recursion
+    continues into a later segment whose scanned state at its first step is
+    (g_t, L_t).  ``None`` = suffix ends at step n-1 (unchanged behavior).
 
     Same 3-phase schedule as ``blocked_filter``: within-block reverse scan
     (N/B sequential depth), tiny reverse exclusive scan over block totals,
@@ -315,6 +356,16 @@ def blocked_suffix_scan(E, g, L, num_blocks: int = NUM_BLOCKS):
     later = tuple(
         jnp.concatenate([s[1:], i1], axis=0) for s, i1 in zip(scanned, ident1)
     )
+    if terminal is not None:
+        g_t, L_t = terminal
+        e_t = (
+            jnp.zeros((1, d, d), dtype),
+            jnp.asarray(g_t, dtype).reshape(1, d, C),
+            jnp.asarray(L_t, dtype).reshape(1, d, d),
+        )
+        e_tb = tuple(jnp.broadcast_to(e, (B,) + e.shape[1:]) for e in e_t)
+        # new_later_b = later_b o e_t: the terminal is LATER than everything.
+        later = _combine_smooth(e_tb, later)
     later_b = tuple(jnp.broadcast_to(x[None], (T,) + x.shape) for x in later)
     out = _combine_smooth(later_b, suffix)
     return tuple(_unblock(x, n) for x in out)
@@ -322,18 +373,33 @@ def blocked_suffix_scan(E, g, L, num_blocks: int = NUM_BLOCKS):
 
 @jax.default_matmul_precision("highest")
 def blocked_smooth(
-    lgssm: LGSSM, y, filter_result: FilterResult = None, num_blocks: int = NUM_BLOCKS
+    lgssm: LGSSM,
+    y,
+    filter_result: FilterResult = None,
+    num_blocks: int = NUM_BLOCKS,
+    boundary=None,
 ) -> SmoothResult:
     """RTS smoother as a blocked reverse scan; SmoothResult parity with
     ``rts_smooth``.  Three phases mirror the filter: within-block reverse
     suffix reduction, tiny reverse exclusive scan over block totals, then an
     elementwise (fully parallel) combine — no replay pass needed because the
-    smoothed moments ARE the combined suffix elements."""
+    smoothed moments ARE the combined suffix elements.
+
+    boundary: optional (A1, mp1, Pp1, ms1, Ps1) — transition/predicted
+    moments and SMOOTHED moments of the step right AFTER this series (a
+    later segment's first step, ``ssm/segmented.py``): the backward
+    recursion then continues into that segment exactly."""
     Y, single = _ensure_batch(y)
     res = filter_result if filter_result is not None else blocked_filter(lgssm, Y, num_blocks)
 
-    elems = _smoother_elements_fast(lgssm, res)
-    _, ms, Ps = blocked_suffix_scan(*elems, num_blocks=num_blocks)
+    if boundary is None:
+        elems = _smoother_elements_fast(lgssm, res)
+        terminal = None
+    else:
+        A1, mp1, Pp1, ms1, Ps1 = boundary
+        elems = _smoother_elements_fast(lgssm, res, next_step=(A1, mp1, Pp1))
+        terminal = (ms1, Ps1)
+    _, ms, Ps = blocked_suffix_scan(*elems, num_blocks=num_blocks, terminal=terminal)
     H = lgssm.H.astype(lgssm.A.dtype)
     f_mean = jnp.einsum("d,ndb->nb", H, ms)
     f_var = jnp.einsum("d,nde,e->n", H, Ps, H)

@@ -1,0 +1,195 @@
+"""Segmented (bounded-plan, streaming) execution of the blocked engine.
+
+Motivation (measured, r4): XLA:TPU's buffer planner allocates ~14.4 GB of
+HBM *plan* per 1M steps for ONE blocked filter pass — independent of rep
+count and lockstep block count (``results_r4/scale_filter_2m.err``: N=2e6
+plans 28.82 G > 15.75 G and is a compile-time OOM) — roughly 60x the live
+data.  A single dispatch therefore caps at N ~ 1.1e6 on a 16 GB v5e.
+
+This module streams the series through the chip in fixed-size segments,
+each its own dispatch, with EXACT state carry:
+
+* filter: the previous segment's last filtered (m, P) is injected into the
+  next segment's phase-2 prefix (``blocked_filter(init=...)``) — the
+  innovations decomposition makes per-segment log-likelihoods additive;
+* smoother: a reverse segment loop carries the later segment's first
+  smoothed state into the suffix scan's terminal element
+  (``blocked_smooth(boundary=...)``).
+
+Segmented == fused exactly (same per-step quantities), asserted against the
+sequential oracle in ``tests/test_segmented.py``.  Beyond this sandbox, the
+same mechanism is how a series larger than HBM streams through a chip:
+only per-segment arrays plus carries need residency during compute.
+
+Reference equivalent: the O(N)-sequential ``decorrelate``/``smooth``
+consumed at ``src/gp/dtc.jl:106-117`` / ``src/gp/temporal_gp_inference.jl:109``
+— here at N bounded only by host/HBM storage of the results, not by the
+compiler.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gpar_at_scale_tpu.ssm.blocked import (
+    NUM_BLOCKS,
+    blocked_filter,
+    blocked_smooth,
+)
+from gpar_at_scale_tpu.ssm.kalman import FilterResult, SmoothResult, _ensure_batch
+from gpar_at_scale_tpu.ssm.markov import LGSSM
+
+SEGMENT_SIZE = 500_000  # ~7.2 GB plan per dispatch: half the v5e ceiling
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _dslice(x, i, seg):
+    return jax.lax.dynamic_slice_in_dim(x, i, seg, 0)
+
+
+def _seg_bounds(n, segment_size):
+    seg = max(1, min(segment_size, n))
+    starts = list(range(0, n, seg))
+    return [(s, min(seg, n - s)) for s in starts]
+
+
+# Module-level jits (cached across calls/reps by shape + init structure).
+@partial(jax.jit, static_argnums=(5,))
+def _seg_filter_jit(A, Q, R, Y, H, num_blocks, init):
+    lg = LGSSM(A=A, Q=Q, H=H, R=R)
+    return blocked_filter(lg, Y, num_blocks, init=init)
+
+
+def segmented_filter(
+    lgssm: LGSSM,
+    y,
+    segment_size: int = SEGMENT_SIZE,
+    num_blocks: int = NUM_BLOCKS,
+    _return_pieces: bool = False,
+):
+    """Forward filter in segment dispatches; FilterResult parity with
+    ``blocked_filter``/``kalman_filter`` (batched columns supported)."""
+    Y, single = _ensure_batch(y)
+    n = lgssm.num_steps
+    dtype = lgssm.A.dtype
+    H = lgssm.H.astype(dtype)
+    R = jnp.broadcast_to(jnp.asarray(lgssm.R, dtype), (n,))
+    Y = Y.astype(dtype)
+
+    pieces, bounds = [], _seg_bounds(n, segment_size)
+    init = None
+    for s, ln in bounds:
+        res = _seg_filter_jit(
+            _dslice(lgssm.A, s, ln),
+            _dslice(lgssm.Q, s, ln),
+            _dslice(R, s, ln),
+            _dslice(Y, s, ln),
+            H,
+            num_blocks,
+            init,
+        )
+        init = (res.m[-1], res.P[-1])
+        pieces.append(res)
+
+    if _return_pieces:
+        return pieces, bounds, single
+
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    return FilterResult(
+        m=cat([p.m for p in pieces]),
+        P=cat([p.P for p in pieces]),
+        mp=cat([p.mp for p in pieces]),
+        Pp=cat([p.Pp for p in pieces]),
+        S=cat([p.S for p in pieces]),
+        v=cat([p.v for p in pieces]),
+        ll=sum(p.ll for p in pieces),
+    )
+
+
+def segmented_logpdf(lgssm: LGSSM, y, segment_size: int = SEGMENT_SIZE,
+                     num_blocks: int = NUM_BLOCKS):
+    pieces, _, single = segmented_filter(
+        lgssm, y, segment_size, num_blocks, _return_pieces=True
+    )
+    ll = sum(p.ll for p in pieces)
+    return ll[0] if single else ll
+
+
+def segmented_decorrelate(lgssm: LGSSM, y, segment_size: int = SEGMENT_SIZE,
+                          num_blocks: int = NUM_BLOCKS):
+    """Whitening pass (lml, alpha) — per-segment alphas are exact because
+    the innovation sequence conditions on the carried state."""
+    single = jnp.ndim(y) == 1
+    res = segmented_filter(lgssm, y, segment_size, num_blocks)
+    alpha = res.v / jnp.sqrt(res.S)[:, None]
+    if single:
+        return res.ll[0], alpha[:, 0]
+    return res.ll, alpha
+
+
+@partial(jax.jit, static_argnums=(6,))
+def _seg_smooth_jit(A, Q, R, Y, res, H, num_blocks, boundary):
+    lg = LGSSM(A=A, Q=Q, H=H, R=R)
+    return blocked_smooth(
+        lg, Y, filter_result=res, num_blocks=num_blocks, boundary=boundary
+    )
+
+
+def segmented_smooth(
+    lgssm: LGSSM,
+    y,
+    segment_size: int = SEGMENT_SIZE,
+    num_blocks: int = NUM_BLOCKS,
+) -> SmoothResult:
+    """RTS smoother in segment dispatches: forward segmented filter, then a
+    reverse segment loop with the smoothing carry injected as the suffix
+    scan's terminal element.  Parity with ``rts_smooth``/``blocked_smooth``."""
+    Y, single = _ensure_batch(y)
+    n = lgssm.num_steps
+    dtype = lgssm.A.dtype
+    H = lgssm.H.astype(dtype)
+    R = jnp.broadcast_to(jnp.asarray(lgssm.R, dtype), (n,))
+    Yc = Y.astype(dtype)
+
+    pieces, bounds, _ = segmented_filter(
+        lgssm, Yc, segment_size, num_blocks, _return_pieces=True
+    )
+    outs = [None] * len(bounds)
+    boundary = None
+    for k in range(len(bounds) - 1, -1, -1):
+        s, ln = bounds[k]
+        sm = _seg_smooth_jit(
+            _dslice(lgssm.A, s, ln),
+            _dslice(lgssm.Q, s, ln),
+            _dslice(R, s, ln),
+            _dslice(Yc, s, ln),
+            pieces[k],
+            H,
+            num_blocks,
+            boundary,
+        )
+        outs[k] = sm
+        if k > 0:
+            s_next = bounds[k][0]
+            boundary = (
+                _dslice(lgssm.A, s_next, 1)[0],
+                pieces[k].mp[0],
+                pieces[k].Pp[0],
+                sm.ms[0],
+                sm.Ps[0],
+            )
+
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    mean = cat([o.mean for o in outs])
+    var = cat([o.var for o in outs])
+    ms = cat([o.ms for o in outs])
+    Ps = cat([o.Ps for o in outs])
+    ll = sum(p.ll for p in pieces)
+    if single:
+        # blocked_smooth already squeezed per segment when given (n, 1) Y?
+        # No: we passed batched Yc, so mean is (n, 1); squeeze here.
+        mean = mean[:, 0] if mean.ndim == 2 else mean
+    return SmoothResult(mean=mean, var=var, ll=ll, ms=ms, Ps=Ps)

@@ -1,0 +1,102 @@
+"""Segmented (streaming) blocked engine == the sequential oracle.
+
+The segment carries must be EXACT: the filter injects the previous
+segment's filtered state into the phase-2 prefix; the smoother injects the
+later segment's first smoothed state as the suffix scan's terminal element
+(``ssm/segmented.py`` — the bounded-compile-plan execution mode measured in
+r4).  Covers ragged tails, batched columns, and sum-kernel general H.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpar_at_scale_tpu.kernels import Matern12, Matern32, Matern52
+from gpar_at_scale_tpu.ssm.kalman import decorrelate, kalman_filter, logpdf, rts_smooth
+from gpar_at_scale_tpu.ssm.markov import lgssm_of
+from gpar_at_scale_tpu.ssm.segmented import (
+    segmented_decorrelate,
+    segmented_filter,
+    segmented_logpdf,
+    segmented_smooth,
+)
+
+FAMS = [Matern12, Matern32, Matern52]
+
+
+def _case(rng, n=137, family=Matern52, nv=0.1):
+    t = jnp.array(np.sort(rng.uniform(0, 8, size=n)))
+    y = jnp.array(np.sin(np.asarray(t) * 1.3) + 0.3 * rng.normal(size=n))
+    k = family(lengthscale=0.8, variance=1.2)
+    return lgssm_of(k, t, nv), y
+
+
+@pytest.mark.parametrize("family", FAMS)
+@pytest.mark.parametrize("n,seg", [(137, 50), (120, 40), (64, 64), (30, 7)])
+def test_segmented_filter_matches_sequential(family, n, seg, rng):
+    """Exact FilterResult parity across segment boundaries incl. ragged
+    tails (137 % 50 != 0) and single-segment (64 == 64)."""
+    lgssm, y = _case(rng, n=n, family=family)
+    ref = kalman_filter(lgssm, y)
+    out = segmented_filter(lgssm, y, segment_size=seg, num_blocks=8)
+    np.testing.assert_allclose(out.m, ref.m, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(out.P, ref.P, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(out.mp, ref.mp, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(out.Pp, ref.Pp, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(out.S, ref.S, rtol=1e-8)
+    np.testing.assert_allclose(out.v, ref.v, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(out.ll, ref.ll, rtol=1e-9)
+
+
+def test_segmented_logpdf_and_decorrelate(rng):
+    lgssm, y = _case(rng, n=101)
+    np.testing.assert_allclose(
+        float(segmented_logpdf(lgssm, y, segment_size=33, num_blocks=8)),
+        float(logpdf(lgssm, y)),
+        rtol=1e-9,
+    )
+    ll_s, a_s = segmented_decorrelate(lgssm, y, segment_size=33, num_blocks=8)
+    ll_r, a_r = decorrelate(lgssm, y)
+    np.testing.assert_allclose(a_s, a_r, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(ll_s, ll_r, rtol=1e-9)
+
+
+def test_segmented_filter_batched_columns(rng):
+    """The DTC whitening shape: M+1 columns stream through segments."""
+    lgssm, _ = _case(rng, n=90)
+    Y = jnp.array(np.random.default_rng(3).normal(size=(90, 5)))
+    out = segmented_filter(lgssm, Y, segment_size=28, num_blocks=8)
+    ref = kalman_filter(lgssm, Y)
+    np.testing.assert_allclose(out.v, ref.v, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(out.ll, ref.ll, rtol=1e-8)
+
+
+@pytest.mark.parametrize("family", FAMS)
+@pytest.mark.parametrize("n,seg", [(137, 50), (48, 13)])
+def test_segmented_smoother_matches_sequential(family, n, seg, rng):
+    """Backward carry across segments: smoothed moments equal the one-shot
+    RTS smoother everywhere, including at segment boundaries."""
+    lgssm, y = _case(rng, n=n, family=family)
+    ref = rts_smooth(lgssm, y)
+    out = segmented_smooth(lgssm, y, segment_size=seg, num_blocks=8)
+    np.testing.assert_allclose(out.mean, ref.mean, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(out.var, ref.var, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(out.ms, ref.ms, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(out.Ps, ref.Ps, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(out.ll, ref.ll, rtol=1e-9)
+
+
+def test_segmented_sum_kernel_general_H(rng):
+    """d = 5 block-diagonal state, H = [1,0,1,0,0] across segments."""
+    n = 77
+    t = jnp.array(np.sort(rng.uniform(0, 8, size=n)))
+    y = jnp.array(rng.normal(size=n))
+    k = Matern32(lengthscale=0.5, variance=0.7) + Matern52(lengthscale=2.0, variance=0.4)
+    lgssm = lgssm_of(k, t, 0.05)
+    ref_f = kalman_filter(lgssm, y)
+    out_f = segmented_filter(lgssm, y, segment_size=30, num_blocks=8)
+    np.testing.assert_allclose(out_f.ll, ref_f.ll, rtol=1e-8)
+    ref_s = rts_smooth(lgssm, y)
+    out_s = segmented_smooth(lgssm, y, segment_size=30, num_blocks=8)
+    np.testing.assert_allclose(out_s.mean, ref_s.mean, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(out_s.var, ref_s.var, rtol=1e-6, atol=1e-9)
