@@ -1,0 +1,26 @@
+#!/bin/bash
+# Second r4 queue: rows invented mid-round (run AFTER run_r4.sh drains).
+set -u
+cd "$(dirname "$0")/.."
+R=benchmarks/results_r4
+mkdir -p "$R"
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_tpu
+export JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES=none
+i=100
+run() {
+  local name=$1 tmo=$2; shift 2
+  i=$((i+1))
+  local att rc
+  for att in 1 2 3 4; do
+    echo "[$(date +%H:%M:%S)] [$i] $name (attempt $att): $*"
+    timeout "$tmo" "$@" > "$R/$name.txt" 2> "$R/$name.err"
+    rc=$?
+    echo "exit=$rc attempt=$att" >> "$R/$name.txt"
+    echo "[$(date +%H:%M:%S)] [$i] $name attempt $att exit=$rc"
+    [ "$rc" -eq 0 ] && break
+    sleep 90
+  done
+}
+
+# segmented-gradient training at config-5 sequence length (1e7)
+run scale_fisher_10m 3600 python benchmarks/million_grad.py 10000000 20 --seg-fisher --segment=1000000

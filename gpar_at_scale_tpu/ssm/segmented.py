@@ -130,6 +130,117 @@ def segmented_decorrelate(lgssm: LGSSM, y, segment_size: int = SEGMENT_SIZE,
     return res.ll, alpha
 
 
+# ---------------------------------------------------------------------------
+# Segmented closed-form gradient (single observation column): the De Jong /
+# Koopman r/N adjoint recursions of ``blocked_grad.loglik_bwd`` with EXACT
+# boundary carries, so million_grad-style training runs at N far beyond the
+# ~1.1e6-step single-dispatch plan ceiling.  Carries: forward (m, P) of the
+# previous segment's last step; backward (r, N) of the next segment's first
+# step (injected as the suffix scan's terminal element) plus that segment's
+# first transition A (the C_k element of a segment's last step crosses the
+# boundary).  The same program serves interior and edge segments: zero
+# carries are exact identities of the recursions.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(8,))
+@jax.default_matmul_precision("highest")
+def _seg_bwd_jit(A, H, e, S, K, m, P, mP_prev, num_blocks, A_b, r_b, N_b):
+    """One segment's backward: (dA, dQ, dR, dy, r0, N0).
+
+    A_b: (d, d) transition of the NEXT segment's first step (zeros if none).
+    r_b (d,), N_b (d, d): adjoints of that step (zeros if none).
+    mP_prev: (m_prev (d,), P_prev (d, d)) filtered state before this
+    segment (zeros for the global first segment)."""
+    from gpar_at_scale_tpu.ssm.blocked import blocked_suffix_scan
+
+    n, d = K.shape
+    dtype = A.dtype
+    I = jnp.eye(d, dtype=dtype)
+    m_pr, P_pr = mP_prev
+
+    A_next = jnp.concatenate([A[1:], A_b.reshape(1, d, d)])
+    ImKH = I[None] - K[:, :, None] * H[None, None, :]
+    C = jnp.swapaxes(A_next @ ImKH, -1, -2)
+    b = H[None, :] * (e / S)[:, None]  # (n, d)
+    W = (1.0 / S)[:, None, None] * (H[:, None] * H[None, :])[None]
+
+    _, r, N = blocked_suffix_scan(
+        C, b[:, :, None], W, num_blocks=num_blocks,
+        terminal=(r_b.reshape(d, 1), N_b),
+    )
+    r = r[:, :, 0]
+
+    outer = lambda a, bb: a[:, :, None] * bb[:, None, :]
+    rrN = outer(r, r) - N
+
+    m_prev = jnp.concatenate([m_pr.reshape(1, d), m[:-1]])
+    P_prev = jnp.concatenate([P_pr.reshape(1, d, d), P[:-1]])
+    dQ = 0.5 * rrN
+    dA = rrN @ (A @ P_prev) + outer(r, m_prev)
+
+    r_next = jnp.concatenate([r[1:], r_b.reshape(1, d)])
+    N_next = jnp.concatenate([N[1:], N_b.reshape(1, d, d)])
+    AK = jnp.einsum("nij,nj->ni", A_next, K)
+    u = e / S - jnp.sum(AK * r_next, axis=-1)
+    D = 1.0 / S + jnp.einsum("ni,nij,nj->n", AK, N_next, AK)
+    dR = 0.5 * (u * u - D)
+    dy = -u
+    return dA, dQ, dR, dy, r[0], N[0]
+
+
+def segmented_loglik_grad(
+    lgssm: LGSSM, y, segment_size: int = SEGMENT_SIZE, num_blocks: int = NUM_BLOCKS
+):
+    """(ll, dA, dQ, dR, dy) of log N(y | 0, Sigma) — the closed-form
+    disturbance-smoother gradient of ``blocked_grad.loglik_bwd``, streamed
+    in segment dispatches (exact; asserted vs one-shot in tests).  Single
+    observation column; H structural."""
+    y = jnp.asarray(y)
+    dtype = lgssm.A.dtype
+    H = lgssm.H.astype(dtype)
+    d = lgssm.dim
+
+    pieces, bounds, _ = segmented_filter(
+        lgssm, y[:, None], segment_size, num_blocks, _return_pieces=True
+    )
+    ll = sum(p.ll for p in pieces)[0]
+
+    zerod = jnp.zeros((d,), dtype)
+    zerodd = jnp.zeros((d, d), dtype)
+    outs = [None] * len(bounds)
+    A_b, r_b, N_b = zerodd, zerod, zerodd
+    for k in range(len(bounds) - 1, -1, -1):
+        s, ln = bounds[k]
+        p = pieces[k]
+        K = jnp.einsum("nij,j->ni", p.Pp, H) / p.S[:, None]
+        if k > 0:
+            prev = pieces[k - 1]
+            mP_prev = (prev.m[-1, :, 0], prev.P[-1])
+        else:
+            mP_prev = (zerod, zerodd)
+        A_seg = _dslice(lgssm.A, s, ln)
+        dA, dQ, dR, dy, r0, N0 = _seg_bwd_jit(
+            A_seg,
+            H,
+            p.v[:, 0],
+            p.S,
+            K,
+            p.m[:, :, 0],
+            p.P,
+            mP_prev,
+            num_blocks,
+            A_b,
+            r_b,
+            N_b,
+        )
+        outs[k] = (dA, dQ, dR, dy)
+        A_b, r_b, N_b = A_seg[0], r0, N0
+
+    cat = lambda i: jnp.concatenate([o[i] for o in outs], axis=0)
+    return ll, cat(0), cat(1), cat(2), cat(3)
+
+
 @partial(jax.jit, static_argnums=(6,))
 def _seg_smooth_jit(A, Q, R, Y, res, H, num_blocks, boundary):
     lg = LGSSM(A=A, Q=Q, H=H, R=R)

@@ -86,6 +86,35 @@ def test_segmented_smoother_matches_sequential(family, n, seg, rng):
     np.testing.assert_allclose(out.ll, ref.ll, rtol=1e-9)
 
 
+@pytest.mark.parametrize("n,seg", [(123, 40), (60, 60)])
+def test_segmented_loglik_grad_matches_oneshot(n, seg, rng):
+    """Segmented r/N adjoint recursions with boundary carries == the
+    one-shot closed-form gradient (``blocked_grad.loglik_bwd``) == jax.grad
+    — the training path past the single-dispatch plan ceiling."""
+    import jax
+
+    from gpar_at_scale_tpu.ssm.blocked import blocked_logpdf
+    from gpar_at_scale_tpu.ssm.blocked_grad import loglik_bwd, loglik_fwd_aux
+    from gpar_at_scale_tpu.ssm.segmented import segmented_loglik_grad
+
+    lgssm, y = _case(rng, n=n)
+    R = jnp.broadcast_to(lgssm.R, (n,))
+
+    ll_ref, aux = loglik_fwd_aux(lgssm.A, lgssm.Q, R, lgssm.H, y, num_blocks=8)
+    dA_r, dQ_r, dR_r, dy_r = loglik_bwd(lgssm.A, lgssm.Q, R, lgssm.H, aux, num_blocks=8)
+
+    ll, dA, dQ, dR, dy = segmented_loglik_grad(lgssm, y, segment_size=seg, num_blocks=8)
+    np.testing.assert_allclose(float(ll), float(ll_ref), rtol=1e-10)
+    np.testing.assert_allclose(dA, dA_r, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(dQ, dQ_r, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(dR, dR_r, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(dy, dy_r, rtol=1e-7, atol=1e-10)
+
+    # and against jax.grad end-to-end (dy channel)
+    g_y = jax.grad(lambda yy: blocked_logpdf(lgssm, yy, num_blocks=8))(y)
+    np.testing.assert_allclose(dy, g_y, rtol=1e-6, atol=1e-9)
+
+
 def test_segmented_sum_kernel_general_H(rng):
     """d = 5 block-diagonal state, H = [1,0,1,0,0] across segments."""
     n = 77
