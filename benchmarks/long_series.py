@@ -64,7 +64,12 @@ def main():
     t = jnp.asarray(np.cumsum(rng.uniform(0.5, 1.5, N)) / 1000.0, jnp.float32)
     y = jnp.asarray(np.sin(np.asarray(t) * 3) + 0.3 * rng.normal(size=N), jnp.float32)
     k = Matern52(lengthscale=1.0, variance=1.0)
-    lg = jax.block_until_ready(jax.jit(lambda t: lgssm_of(k, t, 0.09, jnp.float32))(t))
+    # Full-length discretization caps at N ~ 2.5e6 on TPU (T(4,128) tile
+    # padding of (N,3,3) temps, 56.9x — results_r4/scale_filter_4m.err);
+    # the segmented rows discretize per segment and never build it.
+    lg = None
+    if only not in ("segfilter", "segsmooth"):
+        lg = jax.block_until_ready(jax.jit(lambda t: lgssm_of(k, t, 0.09, jnp.float32))(t))
     # Warm the remote compile service (first compile in a process pays
     # ~80-140 s of connection warmup regardless of program size — measured
     # r3, benchmarks/results_r3/diag_*.txt) so per-engine compile numbers
@@ -148,12 +153,13 @@ def main():
         )
     if only in ("segfilter", "segsmooth"):
         # Segmented streaming engine (ssm/segmented.py): N beyond the
-        # ~1.1e6-per-dispatch XLA:TPU buffer-plan ceiling (~14.4 GB plan per
-        # 1M steps measured r4) via exact state-carried segment dispatches.
+        # ~1.1e6-per-dispatch XLA:TPU buffer-plan ceiling (T(4,128) tile
+        # padding of (N,3,3) buffers, 56.9x — measured r4) via exact
+        # state-carried segment dispatches with PER-SEGMENT discretization.
         from gpar_at_scale_tpu.ssm.segmented import (
             SEGMENT_SIZE,
-            segmented_decorrelate,
-            segmented_smooth,
+            segmented_decorrelate_t,
+            segmented_smooth_t,
         )
 
         seg = next(
@@ -181,8 +187,8 @@ def main():
         if only == "segfilter":
 
             def run_f(i):
-                ll, _ = segmented_decorrelate(
-                    lg, y + jnp.float32(i * 1e-6), segment_size=seg,
+                ll, _ = segmented_decorrelate_t(
+                    k, t, 0.09, y + jnp.float32(i * 1e-6), segment_size=seg,
                     num_blocks=nblocks,
                 )
                 return ll
@@ -191,8 +197,8 @@ def main():
         else:
 
             def run_s(i):
-                sm = segmented_smooth(
-                    lg, y + jnp.float32(i * 1e-6), segment_size=seg,
+                sm = segmented_smooth_t(
+                    k, t, 0.09, y + jnp.float32(i * 1e-6), segment_size=seg,
                     num_blocks=nblocks,
                 )
                 return sm.ll[0] + sm.mean[-1]

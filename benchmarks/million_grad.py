@@ -54,46 +54,23 @@ def main():
     print(f"N={N}  steps={STEPS}  device={jax.devices()[0]}")
 
     if "--seg-fisher" in sys.argv:
-        # Training past the ~1.1e6-step single-dispatch HBM-plan ceiling:
-        # the closed-form gradient streamed in exact state-carried segment
-        # dispatches (ssm/segmented.py::segmented_loglik_grad), with the
-        # hyperparameter pullback ALSO per segment (transitions depend only
-        # on local time gaps, so per-segment lgssm_of vjps with a
-        # left-neighbor time point sum to the exact full-series gradient).
-        from functools import partial as _partial
-
-        from gpar_at_scale_tpu.ssm.segmented import (
-            _dslice,
-            _seg_bounds,
-            segmented_loglik_grad,
-        )
+        # Training past the ~1.1e6-step single-dispatch HBM-plan ceiling
+        # (T(4,128) tile padding of (N,3,3) buffers): the closed-form
+        # gradient streamed in exact state-carried segment dispatches with
+        # PER-SEGMENT discretization and pullback — no full-length (N,d,d)
+        # array exists anywhere (ssm/segmented.py::make_segmented_nll_grad).
+        from gpar_at_scale_tpu.ssm.segmented import make_segmented_nll_grad
 
         SEG = next(
             (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--segment=")),
             1_000_000,
         )
 
-        def lg_full(p):
+        def kernel_fn(p):
             l, sf, sn = unpack_gp(p)
-            k = Matern52(lengthscale=l, variance=sf**2)
-            return lgssm_of(k, t, sn**2, jnp.float32)
+            return Matern52(lengthscale=l, variance=sf**2), sn**2
 
-        jlg = jax.jit(lg_full)
-
-        def _arrays_of(pp, t_seg, drop_first):
-            l, sf, sn = unpack_gp(pp)
-            k = Matern52(lengthscale=l, variance=sf**2)
-            lg = lgssm_of(k, t_seg, sn**2, jnp.float32)
-            Rs = jnp.broadcast_to(lg.R, t_seg.shape)
-            if drop_first:
-                return lg.A[1:], lg.Q[1:], Rs[1:]
-            return lg.A, lg.Q, Rs
-
-        @_partial(jax.jit, static_argnums=(5,))
-        def jpull_seg(p, t_seg, dA, dQ, dR, drop_first):
-            _, vjp = jax.vjp(lambda pp: _arrays_of(pp, t_seg, drop_first), p)
-            (g,) = vjp((dA, dQ, dR))
-            return g
+        grad_fn = make_segmented_nll_grad(kernel_fn, t, y, segment_size=SEG)
 
         opt = optax.adam(5e-2)
         p0 = jnp.asarray(pack_gp(0.3, 1.0, 0.1), jnp.float32)
@@ -102,28 +79,13 @@ def main():
                 opt.update(g, st)
             )
         )
-        bounds = _seg_bounds(N, SEG)
+        nseg = -(-N // SEG)
 
         def run_seg(p0):
             p, st = p0, opt.init(p0)
             lls, traj = [], []
             for _ in range(STEPS):
-                lg = jlg(p)
-                ll, dA, dQ, dR, _ = segmented_loglik_grad(lg, y, segment_size=SEG)
-                g = None
-                for s, ln in bounds:
-                    if s == 0:
-                        gs = jpull_seg(
-                            p, t[:ln], _dslice(dA, 0, ln), _dslice(dQ, 0, ln),
-                            _dslice(dR, 0, ln), False,
-                        )
-                    else:
-                        t_ext = jax.lax.dynamic_slice_in_dim(t, s - 1, ln + 1, 0)
-                        gs = jpull_seg(
-                            p, t_ext, _dslice(dA, s, ln), _dslice(dQ, s, ln),
-                            _dslice(dR, s, ln), True,
-                        )
-                    g = gs if g is None else g + gs
+                ll, g = grad_fn(p)
                 p, st = jupd(p, st, -g / N)
                 lls.append(ll)
                 traj.append(p)
@@ -139,7 +101,7 @@ def main():
         vs_np = np.asarray(vs)
         tr_np = np.exp(np.asarray(traj)) + 1e-3
         stride = max(1, STEPS // 10)
-        print(f"segments: {len(bounds)} x {SEG}")
+        print(f"segments: {nseg} x {SEG}")
         print("step |    nll/N |     l    sf    sn")
         for i in list(range(0, STEPS, stride)) + [STEPS - 1]:
             print(

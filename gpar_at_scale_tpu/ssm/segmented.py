@@ -143,10 +143,9 @@ def segmented_decorrelate(lgssm: LGSSM, y, segment_size: int = SEGMENT_SIZE,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(8,))
 @jax.default_matmul_precision("highest")
-def _seg_bwd_jit(A, H, e, S, K, m, P, mP_prev, num_blocks, A_b, r_b, N_b):
-    """One segment's backward: (dA, dQ, dR, dy, r0, N0).
+def _seg_bwd_core(A, H, e, S, K, m, P, mP_prev, num_blocks, A_b, r_b, N_b):
+    """One segment's backward math: (dA, dQ, dR, dy, r0, N0).
 
     A_b: (d, d) transition of the NEXT segment's first step (zeros if none).
     r_b (d,), N_b (d, d): adjoints of that step (zeros if none).
@@ -187,6 +186,11 @@ def _seg_bwd_jit(A, H, e, S, K, m, P, mP_prev, num_blocks, A_b, r_b, N_b):
     dR = 0.5 * (u * u - D)
     dy = -u
     return dA, dQ, dR, dy, r[0], N[0]
+
+
+@partial(jax.jit, static_argnums=(8,))
+def _seg_bwd_jit(A, H, e, S, K, m, P, mP_prev, num_blocks, A_b, r_b, N_b):
+    return _seg_bwd_core(A, H, e, S, K, m, P, mP_prev, num_blocks, A_b, r_b, N_b)
 
 
 def segmented_loglik_grad(
@@ -247,6 +251,229 @@ def _seg_smooth_jit(A, Q, R, Y, res, H, num_blocks, boundary):
     return blocked_smooth(
         lg, Y, filter_result=res, num_blocks=num_blocks, boundary=boundary
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-parameterized variants: the LGSSM is DISCRETIZED PER SEGMENT inside
+# each segment's dispatch.  Root cause (measured r4, scale_filter_4m.err):
+# on TPU, (N, 3, 3) buffers inside the discretization program are tiled
+# T(4, 128) — a 56.9x padding expansion, 7.6 GB per temp at N=4e6 — so a
+# full-length ``lgssm_of`` caps at N ~ 2.5e6 no matter how the filter is
+# dispatched.  Slicing the TIME VECTOR (N,) instead of (A, Q) keeps every
+# padded buffer segment-sized; continuation segments carry the left-neighbor
+# time point so the boundary transition is exact.
+# ---------------------------------------------------------------------------
+
+
+def _lg_seg(kernel, t_ext, nv_ext, first):
+    """Discretize one segment.  For continuation segments t_ext/nv_ext carry
+    the left-neighbor point and the prior-row [0] is dropped."""
+    from gpar_at_scale_tpu.ssm.markov import discretize, to_sde
+
+    lg_e = discretize(to_sde(kernel, t_ext.dtype), t_ext, nv_ext)
+    if first:
+        return lg_e
+    return LGSSM(A=lg_e.A[1:], Q=lg_e.Q[1:], H=lg_e.H, R=lg_e.R[1:])
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _seg_filter_t_jit(kernel, t_ext, nv_ext, Y, first, num_blocks, init):
+    return blocked_filter(
+        _lg_seg(kernel, t_ext, nv_ext, first), Y, num_blocks, init=init
+    )
+
+
+def _t_prep(t, noise_var, y, dtype):
+    t = jnp.asarray(t)
+    dtype = dtype or t.dtype
+    t = t.astype(dtype)
+    Y, single = _ensure_batch(y)
+    n = t.shape[0]
+    nv = jnp.broadcast_to(jnp.asarray(noise_var, dtype), (n,))
+    return t, nv, Y.astype(dtype), n, single
+
+
+def _t_slices(t, nv, s, ln, first):
+    if first:
+        return _dslice(t, s, ln), _dslice(nv, s, ln)
+    return _dslice(t, s - 1, ln + 1), _dslice(nv, s - 1, ln + 1)
+
+
+def segmented_filter_t(
+    kernel,
+    t,
+    noise_var,
+    y,
+    segment_size: int = SEGMENT_SIZE,
+    num_blocks: int = NUM_BLOCKS,
+    dtype=None,
+    _return_pieces: bool = False,
+):
+    """``segmented_filter`` with per-segment discretization: the Markovian
+    kernel + time grid + noise replace a prebuilt LGSSM, so no full-length
+    (N, d, d) array ever exists — neither on HBM nor in any compile plan."""
+    t, nv, Y, n, single = _t_prep(t, noise_var, y, dtype)
+    pieces, bounds = [], _seg_bounds(n, segment_size)
+    init = None
+    for s, ln in bounds:
+        first = s == 0
+        t_ext, nv_ext = _t_slices(t, nv, s, ln, first)
+        res = _seg_filter_t_jit(
+            kernel, t_ext, nv_ext, _dslice(Y, s, ln), first, num_blocks, init
+        )
+        init = (res.m[-1], res.P[-1])
+        pieces.append(res)
+    if _return_pieces:
+        return pieces, bounds, single
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    return FilterResult(
+        m=cat([p.m for p in pieces]),
+        P=cat([p.P for p in pieces]),
+        mp=cat([p.mp for p in pieces]),
+        Pp=cat([p.Pp for p in pieces]),
+        S=cat([p.S for p in pieces]),
+        v=cat([p.v for p in pieces]),
+        ll=sum(p.ll for p in pieces),
+    )
+
+
+def segmented_decorrelate_t(kernel, t, noise_var, y, segment_size: int = SEGMENT_SIZE,
+                            num_blocks: int = NUM_BLOCKS, dtype=None):
+    single = jnp.ndim(y) == 1
+    res = segmented_filter_t(kernel, t, noise_var, y, segment_size, num_blocks, dtype)
+    alpha = res.v / jnp.sqrt(res.S)[:, None]
+    if single:
+        return res.ll[0], alpha[:, 0]
+    return res.ll, alpha
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _seg_smooth_t_jit(kernel, t_ext, nv_ext, Y, res, first, num_blocks, boundary):
+    lg = _lg_seg(kernel, t_ext, nv_ext, first)
+    sm = blocked_smooth(
+        lg, Y, filter_result=res, num_blocks=num_blocks, boundary=boundary
+    )
+    return sm, lg.A[0]
+
+
+def segmented_smooth_t(
+    kernel,
+    t,
+    noise_var,
+    y,
+    segment_size: int = SEGMENT_SIZE,
+    num_blocks: int = NUM_BLOCKS,
+    dtype=None,
+) -> SmoothResult:
+    """``segmented_smooth`` with per-segment discretization."""
+    t, nv, Y, n, single = _t_prep(t, noise_var, y, dtype)
+    pieces, bounds, _ = segmented_filter_t(
+        kernel, t, nv, Y, segment_size, num_blocks, dtype, _return_pieces=True
+    )
+    outs = [None] * len(bounds)
+    boundary = None
+    for k in range(len(bounds) - 1, -1, -1):
+        s, ln = bounds[k]
+        first = s == 0
+        t_ext, nv_ext = _t_slices(t, nv, s, ln, first)
+        sm, A0 = _seg_smooth_t_jit(
+            kernel, t_ext, nv_ext, _dslice(Y, s, ln), pieces[k], first,
+            num_blocks, boundary,
+        )
+        outs[k] = sm
+        if k > 0:
+            boundary = (A0, pieces[k].mp[0], pieces[k].Pp[0], sm.ms[0], sm.Ps[0])
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    mean = cat([o.mean for o in outs])
+    var = cat([o.var for o in outs])
+    ms = cat([o.ms for o in outs])
+    Ps = cat([o.Ps for o in outs])
+    ll = sum(p.ll for p in pieces)
+    if single and mean.ndim == 2:
+        mean = mean[:, 0]
+    return SmoothResult(mean=mean, var=var, ll=ll, ms=ms, Ps=Ps)
+
+
+def make_segmented_nll_grad(
+    kernel_fn,
+    t,
+    y,
+    segment_size: int = SEGMENT_SIZE,
+    num_blocks: int = NUM_BLOCKS,
+    dtype=None,
+):
+    """Closed-form log-likelihood gradient factory, everything segment-sized.
+
+    kernel_fn: p -> (markov_kernel, noise_var).  Returns ``grad_fn(p) ->
+    (ll, g)`` with g = d ll / d p.  Per segment, ONE backward dispatch fuses
+    discretization, the r/N adjoint suffix scan, the score contractions,
+    AND the pullback of (dA, dQ, dR) into p through the segment's own
+    discretization vjp (transitions depend only on local time gaps, so
+    per-segment pullbacks with the left-neighbor point sum to the exact
+    full-series gradient — verified to 1e-12 vs jax.grad in tests)."""
+    t = jnp.asarray(t)
+    dtype = dtype or t.dtype
+    t = t.astype(dtype)
+    y = jnp.asarray(y, dtype)
+    n = t.shape[0]
+    bounds = _seg_bounds(n, segment_size)
+
+    def _lg_of(p, t_ext, first):
+        k, nv = kernel_fn(p)
+        nv_ext = jnp.broadcast_to(jnp.asarray(nv, dtype), t_ext.shape)
+        return _lg_seg(k, t_ext, nv_ext, first)
+
+    @partial(jax.jit, static_argnums=(3, 4))
+    def fwd_seg(p, t_ext, y_seg, first, num_blocks, init):
+        return blocked_filter(
+            _lg_of(p, t_ext, first), y_seg[:, None], num_blocks, init=init
+        )
+
+    @partial(jax.jit, static_argnums=(7, 8))
+    def bwd_seg(p, t_ext, piece, mP_prev, A_b, r_b, N_b, first, num_blocks):
+        lg = _lg_of(p, t_ext, first)
+        H = lg.H
+        K = jnp.einsum("nij,j->ni", piece.Pp, H) / piece.S[:, None]
+        dA, dQ, dR, _, r0, N0 = _seg_bwd_core(
+            lg.A, H, piece.v[:, 0], piece.S, K, piece.m[:, :, 0], piece.P,
+            mP_prev, num_blocks, A_b, r_b, N_b,
+        )
+        _, vjp = jax.vjp(
+            lambda pp: (lambda l: (l.A, l.Q, l.R))(_lg_of(pp, t_ext, first)), p
+        )
+        (g,) = vjp((dA, dQ, dR))
+        return g, r0, N0, lg.A[0]
+
+    def grad_fn(p):
+        pieces, init = [], None
+        for s, ln in bounds:
+            first = s == 0
+            t_ext = _dslice(t, s, ln) if first else _dslice(t, s - 1, ln + 1)
+            piece = fwd_seg(p, t_ext, _dslice(y, s, ln), first, num_blocks, init)
+            init = (piece.m[-1], piece.P[-1])
+            pieces.append(piece)
+        ll = sum(pc.ll for pc in pieces)[0]
+        d = pieces[0].P.shape[-1]
+        A_b = jnp.zeros((d, d), dtype)
+        r_b = jnp.zeros((d,), dtype)
+        N_b = jnp.zeros((d, d), dtype)
+        g = None
+        for k in range(len(bounds) - 1, -1, -1):
+            s, ln = bounds[k]
+            first = s == 0
+            t_ext = _dslice(t, s, ln) if first else _dslice(t, s - 1, ln + 1)
+            if k > 0:
+                mP_prev = (pieces[k - 1].m[-1, :, 0], pieces[k - 1].P[-1])
+            else:
+                mP_prev = (jnp.zeros((d,), dtype), jnp.zeros((d, d), dtype))
+            gs, r0, N0, A0 = bwd_seg(
+                p, t_ext, pieces[k], mP_prev, A_b, r_b, N_b, first, num_blocks
+            )
+            g = gs if g is None else g + gs
+            A_b, r_b, N_b = A0, r0, N0
+        return ll, g
+
+    return grad_fn
 
 
 def segmented_smooth(

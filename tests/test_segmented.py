@@ -115,6 +115,66 @@ def test_segmented_loglik_grad_matches_oneshot(n, seg, rng):
     np.testing.assert_allclose(dy, g_y, rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.parametrize("n,seg", [(123, 40), (90, 90)])
+def test_segmented_t_variants_match_oneshot(n, seg, rng):
+    """Per-segment discretization (_t variants: no full-length (N, d, d)
+    array anywhere) == prebuilt-LGSSM results, for filter and smoother."""
+    from gpar_at_scale_tpu.ssm.segmented import (
+        segmented_decorrelate_t,
+        segmented_filter_t,
+        segmented_smooth_t,
+    )
+
+    t = jnp.array(np.sort(rng.uniform(0, 8, size=n)))
+    y = jnp.array(np.sin(np.asarray(t) * 1.3) + 0.3 * rng.normal(size=n))
+    k = Matern52(lengthscale=0.8, variance=1.2)
+    lgssm = lgssm_of(k, t, 0.1)
+
+    ref = kalman_filter(lgssm, y)
+    out = segmented_filter_t(k, t, 0.1, y, segment_size=seg, num_blocks=8)
+    np.testing.assert_allclose(out.m, ref.m, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(out.ll, ref.ll, rtol=1e-9)
+    np.testing.assert_allclose(out.S, ref.S, rtol=1e-8)
+
+    ll_t, a_t = segmented_decorrelate_t(k, t, 0.1, y, segment_size=seg, num_blocks=8)
+    ll_r, a_r = decorrelate(lgssm, y)
+    np.testing.assert_allclose(a_t, a_r, rtol=1e-7, atol=1e-10)
+
+    ref_s = rts_smooth(lgssm, y)
+    out_s = segmented_smooth_t(k, t, 0.1, y, segment_size=seg, num_blocks=8)
+    np.testing.assert_allclose(out_s.mean, ref_s.mean, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(out_s.var, ref_s.var, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(out_s.Ps, ref_s.Ps, rtol=1e-6, atol=1e-9)
+
+
+def test_make_segmented_nll_grad_matches_jax_grad(rng):
+    """The fully-fused per-segment gradient factory (discretize + adjoints +
+    pullback in one dispatch per segment) == jax.grad end-to-end."""
+    import jax
+
+    from gpar_at_scale_tpu.ssm.blocked import blocked_logpdf
+    from gpar_at_scale_tpu.ssm.segmented import make_segmented_nll_grad
+
+    n = 130
+    t = jnp.array(np.sort(rng.uniform(0, 8, size=n)))
+    y = jnp.array(np.sin(np.asarray(t) * 1.3) + 0.25 * rng.normal(size=n))
+
+    def kernel_fn(p):
+        return Matern52(lengthscale=jnp.exp(p[0]), variance=jnp.exp(p[1])), jnp.exp(p[2])
+
+    grad_fn = make_segmented_nll_grad(kernel_fn, t, y, segment_size=41, num_blocks=8)
+    p0 = jnp.array([0.2, -0.1, -1.5])
+    ll, g = grad_fn(p0)
+
+    def ref(p):
+        k, nv = kernel_fn(p)
+        return blocked_logpdf(lgssm_of(k, t, nv), y, num_blocks=8)
+
+    ll_r, g_r = jax.value_and_grad(ref)(p0)
+    np.testing.assert_allclose(float(ll), float(ll_r), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_r), rtol=1e-7, atol=1e-10)
+
+
 def test_segmented_sum_kernel_general_H(rng):
     """d = 5 block-diagonal state, H = [1,0,1,0,0] across segments."""
     n = 77
