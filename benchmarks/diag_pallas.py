@@ -74,7 +74,7 @@ def main():
     @jax.jit
     def wrapped(y):
         def body(c, _):
-            ll, _ = pallas_decorrelate(lg, y + c * 1e-9)
+            ll = pallas_decorrelate(lg, y + c * 1e-9)[0]
             return c + ll, None
 
         tot, _ = jax.lax.scan(body, jnp.float32(0), None, length=10)

@@ -51,12 +51,11 @@ def main():
         (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--blocks=")),
         _blocked.NUM_BLOCKS,
     )
-    # --reps: iterations of the amortizing rep-scan.  XLA's buffer planner
-    # keeps every rep-scan iteration's scan temporaries live (~1.44 GB of
-    # HBM PLAN per 1M steps per rep — measured: reps=10 at N=2e6 plans
-    # 28.8 G > 15.75 G and is a compile-time OOM, results_r4/
-    # scale_filter_2m.err), so large N needs small reps.  Dispatch RTT
-    # (~29 ms) is negligible against multi-hundred-ms passes at these N.
+    # --reps: iterations of the amortizing rep-scan.  The HBM *plan* of one
+    # filter pass is ~14.4 GB per 1M steps regardless of reps or B (TPU
+    # T(4,128) tile padding of (N,3,3) buffers, 56.9x — measured r4,
+    # results_r4/scale_filter_{2m,4m}.err), so N > ~1.1e6 is a compile-time
+    # OOM for any single-dispatch row; use the segmented rows there.
     reps_f = next(
         (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--reps=")), 10
     )
@@ -72,7 +71,7 @@ def main():
         lg = jax.block_until_ready(jax.jit(lambda t: lgssm_of(k, t, 0.09, jnp.float32))(t))
     # Warm the remote compile service (first compile in a process pays
     # ~80-140 s of connection warmup regardless of program size — measured
-    # r3, benchmarks/results_r3/diag_*.txt) so per-engine compile numbers
+    # r3; artifact benchmarks/results_r4/diag_pallas_32k.txt) so per-engine compile numbers
     # reflect the engine, not the service.
     float(np.asarray(jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64)))))
     print(f"N={N}  device={jax.devices()[0]}")

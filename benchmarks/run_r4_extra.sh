@@ -24,3 +24,6 @@ run() {
 
 # segmented-gradient training at config-5 sequence length (1e7)
 run scale_fisher_10m 3600 python benchmarks/million_grad.py 10000000 20 --seg-fisher --segment=1000000
+
+# diag_pallas rerun (unpack bug fixed mid-queue; rerun if attempt 4 used stale code)
+run diag_pallas_32k 1800 python benchmarks/diag_pallas.py 32768
