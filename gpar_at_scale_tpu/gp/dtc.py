@@ -188,6 +188,8 @@ def _whiten_all(
 
         L_uu = cholesky_psd(Kuu)
         G, logdet_noise = _bwg(lgssm, batch)
+        G = G.astype(batch.dtype)
+        logdet_noise = logdet_noise.astype(batch.dtype)
         aa, g, Gb = G[0, 0], G[1:, 0], G[1:, 1:]
     elif filter_fn == "dense":
         if time_kernel is None or t is None:

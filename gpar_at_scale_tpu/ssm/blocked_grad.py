@@ -49,6 +49,7 @@ from gpar_at_scale_tpu.ssm.blocked import (
 from gpar_at_scale_tpu.ssm.markov import LGSSM
 
 
+@jax.default_matmul_precision("highest")
 def loglik_fwd_aux(A, Q, R, H, y, num_blocks: int = NUM_BLOCKS):
     """Forward half: blocked filter on one observation column.
 
@@ -165,6 +166,7 @@ def blocked_loglik(lgssm: LGSSM, y, num_blocks: int = NUM_BLOCKS):
 # ---------------------------------------------------------------------------
 
 
+@jax.default_matmul_precision("highest")
 def whiten_fwd_aux(A, Q, R, H, U, num_blocks: int = NUM_BLOCKS):
     """Forward half: one batched blocked filter over the column stack U
     (N, B).  Returns (G, logdet, aux) with G = U^T Sigma^-1 U and aux =
@@ -172,8 +174,7 @@ def whiten_fwd_aux(A, Q, R, H, U, num_blocks: int = NUM_BLOCKS):
     lgssm = LGSSM(A=A, Q=Q, H=H, R=R)
     res = blocked_filter(lgssm, U, num_blocks)
     white = res.v / jnp.sqrt(res.S)[:, None]
-    with jax.default_matmul_precision("highest"):
-        G = white.T @ white
+    G = white.T @ white
     logdet = jnp.sum(jnp.log(res.S))
     K = jnp.einsum("nij,j->ni", res.Pp, H) / res.S[:, None]
     return G, logdet, (res.v, res.S, K, res.m, res.P)

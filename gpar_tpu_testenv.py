@@ -89,10 +89,32 @@ def pytest_load_initial_conftests(early_config, parser, args):
     # Non-run invocations pass through in a single scrubbed child.
     info_flags = {"-h", "--help", "--version", "--co", "--collect-only",
                   "--fixtures", "--markers"}
-    opts = [a for a in argv if a.startswith("-")]
-    paths = [a for a in argv if not a.startswith("-")]
+    # Value-taking pytest flags whose argument may arrive as a SEPARATE
+    # token: keep flag+value together in opts, never misread the value as a
+    # path root (r4 advisor: `-k "not slow"` must not become a path).
+    value_flags = {"-k", "-m", "-o", "-p", "-c", "-W", "--deselect",
+                   "--ignore", "--ignore-glob", "--rootdir", "--timeout",
+                   "--maxfail", "--junitxml", "--basetemp", "--durations",
+                   "--tb", "--color", "--import-mode", "--confcutdir",
+                   "-n", "--dist"}
+    opts, paths, unknown = [], [], False
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("-"):
+            opts.append(a)
+            base = a.split("=", 1)[0]
+            if base in value_flags and "=" not in a and i + 1 < len(argv):
+                opts.append(argv[i + 1])
+                i += 1
+        elif "::" in a or os.path.exists(a):
+            paths.append(a)
+        else:
+            unknown = True  # neither a known flag form nor an existing path
+        i += 1
     single_child = (
-        any(a in info_flags for a in argv)
+        unknown
+        or any(a in info_flags for a in argv)
         or any("::" in p or os.path.isfile(p) for p in paths)
     )
 
