@@ -371,6 +371,91 @@ def blocked_suffix_scan(E, g, L, num_blocks: int = NUM_BLOCKS, terminal=None):
     return tuple(_unblock(x, n) for x in out)
 
 
+# ---------------------------------------------------------------------------
+# FFBS posterior sampling on the blocked engine (production-scale
+# ``posterior_rand``, reference ``src/gp/tmp.jl:167``).
+#
+# The backward-sampling conditionals ARE the smoothing elements: with
+# E_k = P_k A_{k+1}^T Pp_{k+1}^-1, the FFBS recursion is
+#     x_k | x_{k+1} ~ N(m_k + E_k (x_{k+1} - mp_{k+1}),  L_k),
+#     L_k = P_k - E_k Pp_{k+1} E_k^T,
+# i.e. exactly (E, g, L) from ``_smoother_elements_fast`` (g = m - E mp_next;
+# last element (0, m_n, P_n)).  Draw all step noises upfront
+# (eta_k = chol(L_k) xi_k) and the joint sample is the AFFINE suffix
+#     x_k = (g_k + eta_k) + E_k x_{k+1}
+# — one ``blocked_suffix_scan`` with W = 0, N/B sequential depth instead of
+# the O(N)-depth sequential sampler in ``ssm/kalman.py::posterior_sample``.
+# Exact: composing the affine conditionals with pre-drawn standard normals
+# reproduces the joint backward factorization of the posterior.
+# ---------------------------------------------------------------------------
+
+
+def _chol_floor(P):
+    """Batched small-dim Cholesky with a jitter floor (degenerate FFBS
+    conditionals at near-deterministic transitions) — same policy as
+    ``kalman.posterior_sample``."""
+    d = P.shape[-1]
+    eps = 1e-12 if P.dtype == jnp.float64 else 1e-8
+    return jnp.linalg.cholesky(P + eps * jnp.eye(d, dtype=P.dtype))
+
+
+def ffbs_draw(E, g, L, xi, num_blocks: int = NUM_BLOCKS, x_term=None):
+    """State-space joint posterior draws from FFBS elements.
+
+    E (n, d, d), g (n, d, 1), L (n, d, d) as produced by
+    ``_smoother_elements_fast``; xi (n, d, S) standard normals; x_term
+    optional (d, S) draw of the step AFTER this series (segment carry).
+    Returns x (n, d, S)."""
+    n, d, S = xi.shape
+    g_s = g + _chol_floor(L) @ xi  # (n, d, S)
+    zero_L = jnp.zeros((n, d, d), E.dtype)
+    terminal = None
+    if x_term is not None:
+        terminal = (jnp.asarray(x_term, E.dtype), jnp.zeros((d, d), E.dtype))
+    _, x, _ = blocked_suffix_scan(E, g_s, zero_L, num_blocks, terminal=terminal)
+    return x
+
+
+@jax.default_matmul_precision("highest")
+def blocked_posterior_sample(
+    key,
+    lgssm: LGSSM,
+    y,
+    num_samples: int = 1,
+    num_blocks: int = NUM_BLOCKS,
+    filter_result: FilterResult = None,
+    xi=None,
+):
+    """Joint posterior samples of f = H x given y — ``posterior_rand``
+    (``src/gp/tmp.jl:167``) on the production blocked engine.  Returns
+    (num_samples, N).
+
+    filter_result: pass a precomputed ``blocked_filter`` result to stage the
+    forward and sampling passes as separate dispatches (the split that keeps
+    million-step programs compilable here; see BENCHMARKS.md).
+    xi: optional (N, d, num_samples) standard normals overriding the draw —
+    the deterministic hook that makes blocked == segmented == the sequential
+    recursion testable bitwise."""
+    Y, _ = _ensure_batch(y)
+    if Y.shape[1] != 1:
+        raise ValueError("blocked_posterior_sample expects one observation column")
+    res = (
+        filter_result
+        if filter_result is not None
+        else blocked_filter(lgssm, Y, num_blocks)
+    )
+    n, d = lgssm.num_steps, lgssm.dim
+    dtype = lgssm.A.dtype
+    if xi is None:
+        xi = jax.random.normal(key, (n, d, num_samples), dtype)
+    else:
+        xi = jnp.asarray(xi, dtype)
+    E, g, L = _smoother_elements_fast(lgssm, res)
+    x = ffbs_draw(E, g, L, xi, num_blocks)
+    H = lgssm.H.astype(dtype)
+    return jnp.einsum("d,nds->sn", H, x)
+
+
 @jax.default_matmul_precision("highest")
 def blocked_smooth(
     lgssm: LGSSM,

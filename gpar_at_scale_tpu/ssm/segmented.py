@@ -493,6 +493,75 @@ def make_segmented_nll_grad(
     return grad_fn
 
 
+@partial(jax.jit, static_argnums=(5,))
+def _seg_sample_jit(A, Q, R, piece, H, num_blocks, xi, next_step, x_term):
+    from gpar_at_scale_tpu.ssm.blocked import _smoother_elements_fast, ffbs_draw
+
+    lg = LGSSM(A=A, Q=Q, H=H, R=R)
+    E, g, L = _smoother_elements_fast(lg, piece, next_step=next_step)
+    return ffbs_draw(E, g, L, xi, num_blocks, x_term=x_term)
+
+
+def segmented_posterior_sample(
+    key,
+    lgssm: LGSSM,
+    y,
+    num_samples: int = 1,
+    segment_size: int = SEGMENT_SIZE,
+    num_blocks: int = NUM_BLOCKS,
+    xi=None,
+):
+    """Joint posterior samples of f = H x in segment dispatches — the
+    million-step ``posterior_rand`` (``src/gp/tmp.jl:167``): forward
+    segmented filter, then a reverse segment loop where the later segment's
+    FIRST sampled state is injected as the affine suffix scan's terminal
+    element (the same carry mechanism as ``segmented_smooth``; a segment's
+    last FFBS conditional crosses the boundary via the ``next_step`` hook).
+    Exact: identical to ``blocked_posterior_sample`` given the same xi.
+
+    Returns (num_samples, N).  xi: optional (N, d, num_samples) standard
+    normals (deterministic test hook)."""
+    single = jnp.ndim(y) == 1
+    if not single and jnp.shape(y)[1] != 1:
+        raise ValueError("segmented_posterior_sample expects one observation column")
+    n = lgssm.num_steps
+    d = lgssm.dim
+    dtype = lgssm.A.dtype
+    H = lgssm.H.astype(dtype)
+    R = jnp.broadcast_to(jnp.asarray(lgssm.R, dtype), (n,))
+
+    pieces, bounds, _ = segmented_filter(
+        lgssm, y, segment_size, num_blocks, _return_pieces=True
+    )
+    if xi is None:
+        xi = jax.random.normal(key, (n, d, num_samples), dtype)
+    else:
+        xi = jnp.asarray(xi, dtype)
+
+    outs = [None] * len(bounds)
+    next_step, x_term = None, None
+    for k in range(len(bounds) - 1, -1, -1):
+        s, ln = bounds[k]
+        A_seg = _dslice(lgssm.A, s, ln)
+        x = _seg_sample_jit(
+            A_seg,
+            _dslice(lgssm.Q, s, ln),
+            _dslice(R, s, ln),
+            pieces[k],
+            H,
+            num_blocks,
+            _dslice(xi, s, ln),
+            next_step,
+            x_term,
+        )
+        outs[k] = x
+        if k > 0:
+            next_step = (A_seg[0], pieces[k].mp[0], pieces[k].Pp[0])
+            x_term = x[0]
+    x_full = jnp.concatenate(outs, axis=0)  # (N, d, S)
+    return jnp.einsum("d,nds->sn", H, x_full)
+
+
 def segmented_smooth(
     lgssm: LGSSM,
     y,
