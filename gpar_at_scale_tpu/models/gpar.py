@@ -41,8 +41,10 @@ from gpar_at_scale_tpu.ssm.pkalman import parallel_filter
 from gpar_at_scale_tpu.utils.params import (
     init_gp_params,
     init_gpar_params,
+    init_gpar_params6,
     unpack_gp,
     unpack_gpar,
+    unpack_gpar6,
 )
 
 
@@ -68,12 +70,32 @@ class GPARConfig:
     #   'pallas'      — blocked-scan TPU kernels; trains end-to-end via the
     #                   batched disturbance-smoother VJP (ops/pallas_grad).
     filter_impl: str = "auto"
+    # Separate temporal/output observation noises (finishes reference defect
+    # K4, ``src/gp/dtc.jl:18`` / ``src/gp/gpar_scaled_inference.jl:60``):
+    # False (default) = the reference-parity shared-sigma 5-param pack;
+    # True = 6-param pack with the temporal noise (LGSSM R) learned
+    # separately from the output noise (K_uu ridge).  Scaled backend only.
+    separate_noise: bool = False
 
 
 def _minimize(cfg: GPARConfig, fun, x0) -> OptResult:
     if cfg.optimizer == "adam":
         return minimize_adam(fun, x0, max_steps=cfg.max_opt_steps)
     return minimize_lbfgs(fun, x0, max_steps=cfg.max_opt_steps)
+
+
+def _unpack_cond(cfg: GPARConfig, p):
+    """(time_l, time_sigma, out_l, out_sigma, noise_sigma, time_noise_sigma)
+    for either pack: the shared-sigma 5-param mode aliases the temporal
+    noise to the output noise (reference parity, K4)."""
+    if cfg.separate_noise:
+        return unpack_gpar6(p)
+    tl, ts, ol, osig, ns = unpack_gpar(p)
+    return tl, ts, ol, osig, ns, ns
+
+
+def _init_cond_params(cfg: GPARConfig, key):
+    return init_gpar_params6(key) if cfg.separate_noise else init_gpar_params(key)
 
 
 def _filter_fn_of(cfg: GPARConfig):
@@ -188,15 +210,19 @@ class FittedConditional:
     qu: Optional[QU] = None
 
     def hyperparams(self) -> Tuple:
-        return tuple(float(v) for v in unpack_gpar(self.params))
+        unpack = unpack_gpar6 if self.cfg.separate_noise else unpack_gpar
+        return tuple(float(v) for v in unpack(self.params))
 
     def _kernels(self):
-        tl, ts, ol, osig, ns = unpack_gpar(self.params)
+        tl, ts, ol, osig, ns, tns = _unpack_cond(self.cfg, self.params)
         input_dim = 1 + self.X_prev.shape[1]
         full_k = gpar_kernel(self.cfg.time_family, self.cfg.out_family, input_dim, tl, ts, ol, osig)
         time_k = time_kernel_only(self.cfg.time_family, tl, ts)
         out_k = self.cfg.out_family(lengthscale=ol, variance=osig**2)
-        return full_k, time_k, out_k, ns**2
+        # The predictive smoothing treats y - f_x = f_t + eps: its
+        # observation noise is the TEMPORAL noise (== output noise in the
+        # shared-sigma mode).
+        return full_k, time_k, out_k, tns**2
 
     def predict(self, t_star, X_prev_star):
         full_k, time_k, out_k, nv = self._kernels()
@@ -241,10 +267,16 @@ def fit_conditional(key, t, X_prev, y, cfg: GPARConfig, init_params=None) -> Fit
     t = jnp.asarray(t, cfg.dtype)
     X_prev = jnp.asarray(X_prev, cfg.dtype)
     y = jnp.asarray(y, cfg.dtype)
-    x0 = init_gpar_params(key) if init_params is None else jnp.asarray(init_params, cfg.dtype)
+    x0 = (
+        _init_cond_params(cfg, key)
+        if init_params is None
+        else jnp.asarray(init_params, cfg.dtype)
+    )
     input_dim = 1 + X_prev.shape[1]
 
     if cfg.backend == "exact":
+        if cfg.separate_noise:
+            raise ValueError("separate_noise applies to the scaled backend only")
         X = jnp.concatenate([t[:, None], X_prev], axis=1)
 
         def nlml(p):
@@ -264,23 +296,25 @@ def fit_conditional(key, t, X_prev, y, cfg: GPARConfig, init_params=None) -> Fit
     f_impl = _filter_fn_of(cfg)
 
     def nlml(p):
-        tl, ts, ol, osig, ns = unpack_gpar(p)
+        tl, ts, ol, osig, ns, tns = _unpack_cond(cfg, p)
         time_k = time_kernel_only(cfg.time_family, tl, ts)
         out_k = cfg.out_family(lengthscale=ol, variance=osig**2)
-        lgssm = lgssm_of(time_k, t_s, ns**2, cfg.dtype)
+        lgssm = lgssm_of(time_k, t_s, tns**2, cfg.dtype)
         # uu_ridge = s2 mirrors the reference (its FiniteGP u carries the
         # observation noise, src/gp/dtc.jl:35) and keeps chol(K_uu) stable
-        # when the out-lengthscale grows and K_uu approaches rank one.
+        # when the out-lengthscale grows and K_uu approaches rank one.  In
+        # separate-noise mode the LGSSM carries the temporal noise tns and
+        # the ridge carries the output noise ns (K4 finished).
         return -dtc_objective(
             out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2, filter_fn=f_impl,
             time_kernel=time_k, t=t_s,
         )
 
     res = _minimize(cfg, nlml, x0)
-    tl, ts, ol, osig, ns = unpack_gpar(res.params)
+    tl, ts, ol, osig, ns, tns = _unpack_cond(cfg, res.params)
     time_k = time_kernel_only(cfg.time_family, tl, ts)
     out_k = cfg.out_family(lengthscale=ol, variance=osig**2)
-    lgssm = lgssm_of(time_k, t_s, ns**2, cfg.dtype)
+    lgssm = lgssm_of(time_k, t_s, tns**2, cfg.dtype)
     qu = compute_q_u(
         out_k, lgssm, X_s, Z, y_s, uu_ridge=ns**2, filter_fn=f_impl,
         time_kernel=time_k, t=t_s,
@@ -397,6 +431,8 @@ def fit_conditionals_parallel(
     conditional axis is device-sharded, so each device group optimizes its
     own subset — wall-clock ~flat in P (VERDICT r1 item 5).
     """
+    if cfg.separate_noise and cfg.backend == "exact":
+        raise ValueError("separate_noise applies to the scaled backend only")
     t = jnp.asarray(t, cfg.dtype)
     Y = jnp.asarray(Y, cfg.dtype)
     n, P = Y.shape
@@ -425,21 +461,22 @@ def fit_conditionals_parallel(
             [jnp.asarray(p, cfg.dtype) for p in init_params]
         )
     else:
-        x0s = jax.vmap(init_gpar_params)(jnp.asarray(keys))
+        init_one = init_gpar_params6 if cfg.separate_noise else init_gpar_params
+        x0s = jax.vmap(init_one)(jnp.asarray(keys))
     x0s = x0s.astype(cfg.dtype)
 
     f_impl = _filter_fn_of(cfg)
     input_dim = 1 + width
 
     def nlml(p, Xp, Zp, yp):
-        tl, ts, ol, osig, ns = unpack_gpar(p)
+        tl, ts, ol, osig, ns, tns = _unpack_cond(cfg, p)
         if cfg.backend == "exact":
             k = gpar_kernel(cfg.time_family, cfg.out_family, input_dim, tl, ts, ol, osig)
             Xfull = jnp.concatenate([t_s[:, None], Xp], axis=1)
             return exact_gp.nlml(k, Xfull, yp, ns**2)
         time_k = time_kernel_only(cfg.time_family, tl, ts)
         out_k = cfg.out_family(lengthscale=ol, variance=osig**2)
-        lgssm = lgssm_of(time_k, t_s, ns**2, cfg.dtype)
+        lgssm = lgssm_of(time_k, t_s, tns**2, cfg.dtype)
         return -dtc_objective(
             out_k, lgssm, Xp, Zp, yp, uu_ridge=ns**2, filter_fn=f_impl,
             time_kernel=time_k, t=t_s,
@@ -449,10 +486,10 @@ def fit_conditionals_parallel(
         res = _minimize(cfg, lambda p: nlml(p, Xp, Zp, yp), x0)
         if cfg.backend == "exact":
             return res.params, None
-        tl, ts, ol, osig, ns = unpack_gpar(res.params)
+        tl, ts, ol, osig, ns, tns = _unpack_cond(cfg, res.params)
         time_k = time_kernel_only(cfg.time_family, tl, ts)
         out_k = cfg.out_family(lengthscale=ol, variance=osig**2)
-        lgssm = lgssm_of(time_k, t_s, ns**2, cfg.dtype)
+        lgssm = lgssm_of(time_k, t_s, tns**2, cfg.dtype)
         qu = compute_q_u(
             out_k, lgssm, Xp, Zp, yp, uu_ridge=ns**2, filter_fn=f_impl,
             time_kernel=time_k, t=t_s,

@@ -3,10 +3,13 @@ from gpar_at_scale_tpu.utils.params import (
     unconstrain,
     unpack_gp,
     unpack_gpar,
+    unpack_gpar6,
     pack_gp,
     pack_gpar,
+    pack_gpar6,
     init_gp_params,
     init_gpar_params,
+    init_gpar_params6,
 )
 from gpar_at_scale_tpu.utils.psd import add_jitter, cholesky_psd, solve_lower, solve_upper
 
@@ -15,10 +18,13 @@ __all__ = [
     "unconstrain",
     "unpack_gp",
     "unpack_gpar",
+    "unpack_gpar6",
     "pack_gp",
     "pack_gpar",
+    "pack_gpar6",
     "init_gp_params",
     "init_gpar_params",
+    "init_gpar_params6",
     "add_jitter",
     "cholesky_psd",
     "solve_lower",

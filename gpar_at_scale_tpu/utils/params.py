@@ -65,6 +65,31 @@ def unpack_gpar(params):
     )
 
 
+def unpack_gpar6(params):
+    """(6,) log-params -> (time_l, time_sigma, out_l, out_sigma,
+    noise_sigma, time_noise_sigma).
+
+    The separate-noise variant finishing reference defect K4: the reference
+    shares ONE sigma between the temporal GP's observation noise and the
+    f/u FiniteGPs' output noise ("Temporal noise and output noise are the
+    same", ``src/gp/dtc.jl:18``; "TODO: look into having different noise
+    values", ``src/gp/gpar_scaled_inference.jl:60``).  Here the first five
+    entries keep the reference pack's order/meaning (``noise_sigma`` = the
+    output noise carried by the u FiniteGP, i.e. the K_uu ridge,
+    ``src/gp/dtc.jl:35``) and the sixth is the separately-learned temporal
+    observation noise (the LGSSM's R)."""
+    return tuple(constrain(params[i]) for i in range(6))
+
+
+def pack_gpar6(time_l, time_sigma, out_l, out_sigma, noise_sigma, time_noise_sigma):
+    return jnp.stack(
+        [
+            unconstrain(jnp.asarray(v))
+            for v in (time_l, time_sigma, out_l, out_sigma, noise_sigma, time_noise_sigma)
+        ]
+    )
+
+
 def pack_gp(l, process_sigma, noise_sigma):
     return jnp.stack(
         [unconstrain(jnp.asarray(l)), unconstrain(jnp.asarray(process_sigma)),
@@ -116,4 +141,28 @@ def init_gpar_params(
         key,
         [i_log_time_l, i_log_time_sigma, i_log_out_l, i_log_out_sigma, i_log_noise_sigma],
         5,
+    )
+
+
+def init_gpar_params6(
+    key,
+    i_log_time_l=None,
+    i_log_time_sigma=None,
+    i_log_out_l=None,
+    i_log_out_sigma=None,
+    i_log_noise_sigma=None,
+    i_log_time_noise_sigma=None,
+):
+    """Initial (6,) log-param vector for the separate-noise pack."""
+    return _init(
+        key,
+        [
+            i_log_time_l,
+            i_log_time_sigma,
+            i_log_out_l,
+            i_log_out_sigma,
+            i_log_noise_sigma,
+            i_log_time_noise_sigma,
+        ],
+        6,
     )
