@@ -9,6 +9,11 @@ complete instead of tripping this environment's ~1-3 min single-execution
 cap (r2: --chains=32 crashed the TPU worker).
 
 Usage: python benchmarks/ess.py [--cpu] [--chains=8] [--full] [--segment=50]
+       [--samples=K] [--warmup=W]
+
+r5: ``--samples``/``--warmup`` override the per-chain lengths — the r4
+32-chain row (300 kept/chain) had NOT mixed (split-R-hat 1.081); the r5 row
+runs 32 x 1000 kept so many short chains become many LONG chains.
 """
 
 import sys
@@ -47,6 +52,14 @@ def main():
     logpost_u, constrain = bounded_reparam(logpost, bound=3.0)
 
     num_samples, num_warmup = (500, 300) if full else (300, 200)
+    num_samples = next(
+        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--samples=")),
+        num_samples,
+    )
+    num_warmup = next(
+        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--warmup=")),
+        num_warmup,
+    )
     x0s = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (chains, 5))
 
     def run():

@@ -9,8 +9,8 @@ Compares the Kalman whitening engines on one chip:
     through this sandbox's axon relay — see BENCHMARKS.md diagnosis)
 
 Usage: python benchmarks/long_series.py [N] [--no-seq] [--assoc] [--pallas]
-       [--chunk=K] [--blocks=B] [--reps=R] [--segment=S]
-       [--only=filter|smooth|smooth-split|segfilter|segsmooth|seq|assoc]
+       [--chunk=K] [--blocks=B] [--reps=R] [--segment=S] [--samples=S]
+       [--only=filter|smooth|smooth-split|segfilter|segsmooth|ffbs|segsample|seq|assoc]
 
 ``--only``: run a single engine row (the remote compile service occasionally
 stalls many minutes on one program; one-row-per-process keeps each artifact
@@ -26,6 +26,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from examples._common import setup_jax  # noqa: E402
+
+jax = setup_jax(cpu="--cpu" in sys.argv, x64=False)
 
 
 def main():
@@ -67,7 +71,7 @@ def main():
     # padding of (N,3,3) temps, 56.9x — results_r4/scale_filter_4m.err);
     # the segmented rows discretize per segment and never build it.
     lg = None
-    if only not in ("segfilter", "segsmooth"):
+    if only not in ("segfilter", "segsmooth", "segsample"):
         lg = jax.block_until_ready(jax.jit(lambda t: lgssm_of(k, t, 0.09, jnp.float32))(t))
     # Warm the remote compile service (first compile in a process pays
     # ~80-140 s of connection warmup regardless of program size — measured
@@ -203,6 +207,102 @@ def main():
                 return sm.ll[0] + sm.mean[-1]
 
             bench_host(f"seg smooth s={seg}", run_s)
+    if only == "ffbs":
+        # Joint posterior sampling (posterior_rand, src/gp/tmp.jl:167) on
+        # the blocked engine: forward filter + FFBS affine suffix scan as
+        # SEPARATE dispatches (the split that keeps million-step programs
+        # compilable here; r4 verdict item 6).
+        from gpar_at_scale_tpu.ssm.blocked import (
+            _smoother_elements_fast,
+            blocked_filter,
+            ffbs_draw,
+        )
+
+        S = next(
+            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--samples=")),
+            4,
+        )
+        key = jax.random.PRNGKey(0)
+        jfil = jax.jit(lambda yy: blocked_filter(lg, yy, num_blocks=nblocks))
+
+        @jax.jit
+        def jsample(res, xi):
+            E, g, L = _smoother_elements_fast(lg, res)
+            x = ffbs_draw(E, g, L, xi, num_blocks=nblocks)
+            return jnp.einsum("d,nds->sn", lg.H.astype(lg.A.dtype), x)
+
+        d = lg.A.shape[-1]
+        t0 = time.time()
+        fr = jfil(y[:, None])
+        float(np.asarray(fr.ll[0]))
+        c_f = time.time() - t0
+        xi = jax.random.normal(key, (N, d, S), jnp.float32)
+        t0 = time.time()
+        f = jsample(fr, xi)
+        float(np.asarray(f[0, 0]))
+        c_s = time.time() - t0
+        print(f"ffbs compiles: filter {c_f:6.1f}s  sample {c_s:6.1f}s", flush=True)
+        runs_f, runs_s = [], []
+        for i in range(4):
+            t0 = time.time()
+            fr = jfil(y[:, None] + jnp.float32(i * 1e-6))
+            float(np.asarray(fr.ll[0]))
+            runs_f.append(time.time() - t0)
+            xi = jax.random.normal(jax.random.fold_in(key, i), (N, d, S), jnp.float32)
+            t0 = time.time()
+            f = jsample(fr, xi)
+            float(np.asarray(f[0, 0]))
+            runs_s.append(time.time() - t0)
+        el_f, el_s = min(runs_f), min(runs_s)
+        fm = np.asarray(f)
+        print(
+            f"ffbs joint draw [{S} samples x {N:,} steps]: filter "
+            f"{el_f*1e3:9.2f} ms + sample {el_s*1e3:9.2f} ms = "
+            f"{(el_f+el_s)*1e3:9.2f} ms ({N*S/el_s/1e6:7.2f} M sample-steps/s "
+            f"in the sampling pass); draw mean {fm.mean():.4f} sd {fm.std():.4f}",
+            flush=True,
+        )
+    if only == "segsample":
+        from gpar_at_scale_tpu.ssm.markov import discretize, to_sde
+        from gpar_at_scale_tpu.ssm.segmented import (
+            SEGMENT_SIZE,
+            segmented_posterior_sample,
+        )
+
+        seg = next(
+            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--segment=")),
+            SEGMENT_SIZE,
+        )
+        S = next(
+            (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--samples=")),
+            4,
+        )
+        nseg = -(-N // seg)
+        lg_seg = jax.jit(lambda tt: discretize(to_sde(k, jnp.float32), tt, 0.09))(t)
+        key = jax.random.PRNGKey(0)
+
+        def run_sample(i):
+            f = segmented_posterior_sample(
+                jax.random.fold_in(key, i), lg_seg, y + jnp.float32(i * 1e-6),
+                num_samples=S, segment_size=seg, num_blocks=nblocks,
+            )
+            return f[0, 0]
+
+        t0 = time.time()
+        float(np.asarray(run_sample(0)))
+        c = time.time() - t0
+        runs = []
+        for i in range(1, 4):
+            t0 = time.time()
+            float(np.asarray(run_sample(i)))
+            runs.append(time.time() - t0)
+        el = min(runs)
+        print(
+            f"seg ffbs s={seg} [{S} samples x {N:,}]: compile+1st {c:6.1f}s  "
+            f"run {el*1e3:9.2f} ms ({N*S/el/1e6:7.2f} M sample-steps/s; "
+            f"{2*nseg} dispatches incl. filter)",
+            flush=True,
+        )
     if "--pallas" in sys.argv:
         if chunk:
             from gpar_at_scale_tpu.ops.pallas_kalman import pallas_decorrelate_chunked

@@ -391,12 +391,29 @@ def blocked_suffix_scan(E, g, L, num_blocks: int = NUM_BLOCKS, terminal=None):
 
 
 def _chol_floor(P):
-    """Batched small-dim Cholesky with a jitter floor (degenerate FFBS
-    conditionals at near-deterministic transitions) — same policy as
-    ``kalman.posterior_sample``."""
+    """Batched small-dim Cholesky robust to degenerate FFBS conditionals.
+
+    The conditional covariance L_k = P_k - E_k Pp_{k+1} E_k^T cancels to
+    ~machine epsilon at near-deterministic transitions (tiny time gaps); in
+    f32 the residual can be indefinite at magnitudes far above any fixed
+    jitter (measured on TPU: NaN draws at N=20k with dt ~ 1e-3 x
+    lengthscale).  Two guards: (1) a RELATIVE jitter scaled to each step's
+    trace, (2) any step whose Cholesky still comes out non-finite falls
+    back to the diagonal sqrt — at such steps the conditional noise is
+    O(eps), so dropping its off-diagonal correlation is harmless."""
     d = P.shape[-1]
-    eps = 1e-12 if P.dtype == jnp.float64 else 1e-8
-    return jnp.linalg.cholesky(P + eps * jnp.eye(d, dtype=P.dtype))
+    if P.dtype == jnp.float64:
+        eps, rel = 1e-12, 1e-10
+    else:
+        eps, rel = 1e-8, 1e-5
+    I = jnp.eye(d, dtype=P.dtype)
+    tr = jnp.trace(P, axis1=-2, axis2=-1) / d
+    jit = eps + rel * jnp.maximum(tr, 0.0)
+    L = jnp.linalg.cholesky(P + jit[..., None, None] * I)
+    diag = jnp.sqrt(jnp.maximum(jnp.diagonal(P, axis1=-2, axis2=-1), 0.0) + eps)
+    fallback = diag[..., :, None] * I
+    bad = ~jnp.all(jnp.isfinite(L), axis=(-2, -1))
+    return jnp.where(bad[..., None, None], fallback, L)
 
 
 def ffbs_draw(E, g, L, xi, num_blocks: int = NUM_BLOCKS, x_term=None):
