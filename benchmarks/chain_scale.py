@@ -189,29 +189,53 @@ def main():
         Kuu = out_k(Zc, Zc) + ns**2 * jnp.eye(M, dtype=f32)
         return lg.A, lg.Q, jnp.broadcast_to(lg.R, (N,)), lg.H, U, Kuu
 
-    def bound_from_gram(G, logdet, Kuu):
-        with jax.default_matmul_precision("highest"):
-            aa, g, Gb = G[0, 0], G[1:, 0], G[1:, 1:]
-            L_uu = jnp.linalg.cholesky(Kuu)
-            L_P = jnp.linalg.cholesky(Gb + Kuu)
-            wp = jax.scipy.linalg.solve_triangular(L_P, g, lower=True)
-            ld = lambda L: 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-            return -0.5 * (
-                N * _LOG_2PI + logdet + ld(L_P) - ld(L_uu) + aa - jnp.sum(wp**2)
-            )
-
     @jax.jit
     def jfwd(p, Xc, Zc, y):
         A, Q, R, H, U, Kuu = arrays(p, Xc, Zc, y)
         G, logdet, aux = whiten_fwd_aux(A, Q, R, H, U)
         return A, Q, R, H, U, Kuu, G, logdet, aux
 
-    @jax.jit
-    def jbound(G, logdet, Kuu):
-        val, (ct_G, ct_ld, ct_K) = jax.value_and_grad(
-            bound_from_gram, argnums=(0, 1, 2)
-        )(G, logdet, Kuu)
-        return val, ct_G, ct_ld, ct_K
+    def host_bound(G, logdet, Kuu):
+        """P-form bound + closed-form cotangents, on the HOST in f64.
+
+        The M x M algebra is tiny, but at N = 1e6 the Gram's entries are
+        O(N) while its floor is the O(noise^2) ridge: cond(Gb + Kuu) ~ 5e9
+        for strongly-correlated K_fu columns (measured: the chain's 1-D
+        early conditionals), past the f32 Cholesky cliff — the on-chip f32
+        factorization NaNs.  f64 on the host costs microseconds and keeps
+        every O(N) program f32 on-chip.  Cotangents (matching jax.grad of
+        the on-chip P-form, entries only where consumed):
+            beta = P^-1 g,  S = -(P^-1 + beta beta^T)/2
+            ct_G[0,0] = -1/2; ct_G[1:,0] = beta; ct_G[1:,1:] = S
+            ct_ld = -1/2;  ct_K = S + Kuu^-1/2."""
+        import scipy.linalg as sla
+
+        G64 = np.asarray(G, np.float64)
+        K64 = np.asarray(Kuu, np.float64)
+        aa, g, Gb = G64[0, 0], G64[1:, 0], G64[1:, 1:]
+        Pm = Gb + K64
+        cP = sla.cho_factor(Pm, lower=True)
+        cK = sla.cho_factor(K64, lower=True)
+        ldP = 2.0 * np.sum(np.log(np.diag(cP[0])))
+        ldK = 2.0 * np.sum(np.log(np.diag(cK[0])))
+        beta = sla.cho_solve(cP, g)
+        val = -0.5 * (
+            N * _LOG_2PI + float(np.asarray(logdet)) + ldP - ldK + aa - g @ beta
+        )
+        Pinv = sla.cho_solve(cP, np.eye(M))
+        Kinv = sla.cho_solve(cK, np.eye(M))
+        S = -0.5 * (Pinv + np.outer(beta, beta))
+        ct_G = np.zeros((M + 1, M + 1))
+        ct_G[0, 0] = -0.5
+        ct_G[1:, 0] = beta
+        ct_G[1:, 1:] = S
+        ct_K = S + 0.5 * Kinv
+        return (
+            np.float32(val),
+            jnp.asarray(ct_G, f32),
+            jnp.float32(-0.5),
+            jnp.asarray(ct_K, f32),
+        )
 
     jelems = jax.jit(whiten_bwd_elements)
     jpad_b = jax.jit(lambda b: jnp.pad(b, ((0, 0), (0, 0), (0, (-b.shape[2]) % BK))))
@@ -239,7 +263,7 @@ def main():
         vals = []
         for _ in range(steps):
             A, Q, R, H, U, Kuu, G, logdet, aux = jfwd(p, Xc, Zc, y)
-            val, ct_G, ct_ld, ct_K = jbound(G, logdet, Kuu)
+            val, ct_G, ct_ld, ct_K = host_bound(G, logdet, Kuu)
             C, b, W = jelems(A, H, aux)
             b = jpad_b(b)
             rs, Nmat = [], None
@@ -256,26 +280,35 @@ def main():
         return p, [-float(np.asarray(v)) / N for v in vals]
 
     @jax.jit
-    def q_u(p, Xc, Zc, y):
+    def jgram(p, Xc, Zc, y):
         A, Q, R, H, U, Kuu = arrays(p, Xc, Zc, y)
         G, logdet, _ = whiten_fwd_aux(A, Q, R, H, U)
-        with jax.default_matmul_precision("highest"):
-            g, Gb = G[1:, 0], G[1:, 1:]
-            L_uu = jnp.linalg.cholesky(Kuu)
-            AAt = jax.scipy.linalg.solve_triangular(
-                L_uu,
-                jax.scipy.linalg.solve_triangular(L_uu, Gb, lower=True).T,
-                lower=True,
-            )
-            D = AAt + jnp.eye(M, dtype=f32)
-            L_D = jnp.linalg.cholesky(0.5 * (D + D.T))
-            Aalpha = jax.scipy.linalg.solve_triangular(L_uu, g, lower=True)
-            m_eps = jax.scipy.linalg.solve_triangular(
-                L_D.T,
-                jax.scipy.linalg.solve_triangular(L_D, Aalpha, lower=True),
-                lower=False,
-            )
-        return m_eps, L_D, L_uu
+        return G, Kuu
+
+    def q_u(p, Xc, Zc, y):
+        """q(u) with the M x M factorizations in host f64 (same cliff as
+        host_bound: D = I + L_uu^-1 Gb L_uu^-T has cond ~ Gram/ridge)."""
+        import scipy.linalg as sla
+
+        G, Kuu = jgram(p, Xc, Zc, y)
+        G64 = np.asarray(G, np.float64)
+        K64 = np.asarray(Kuu, np.float64)
+        g, Gb = G64[1:, 0], G64[1:, 1:]
+        L_uu = np.linalg.cholesky(K64)
+        AAt = sla.solve_triangular(
+            L_uu, sla.solve_triangular(L_uu, Gb, lower=True).T, lower=True
+        )
+        D = AAt + np.eye(M)
+        L_D = np.linalg.cholesky(0.5 * (D + D.T))
+        Aalpha = sla.solve_triangular(L_uu, g, lower=True)
+        m_eps = sla.solve_triangular(
+            L_D.T, sla.solve_triangular(L_D, Aalpha, lower=True), lower=False
+        )
+        return (
+            jnp.asarray(m_eps, f32),
+            jnp.asarray(L_D, f32),
+            jnp.asarray(L_uu, f32),
+        )
 
     @jax.jit
     def prepare(p, Xc, Zc, y, Xc_star, m_eps, L_D, L_uu):
