@@ -164,6 +164,130 @@ def main():
             flush=True,
         )
 
+    # ---- (b-mixed) bounded-memory train step at ANY M --------------------
+    # --mixed-bwd=K: the factored-cotangent backward (ctsym = -F F^T on the
+    # host in f64; linearity of filter/scan in observation columns =>
+    # r @ F = scan(filter(U @ F))) runs the backward over K mixed columns
+    # at a time with per-chunk pullback to the 5-vector gradient — nothing
+    # full-width resident.  The direct staged backward OOMs at M = 128
+    # (full-width aux m is (N, d, M+1); measured RESOURCE_EXHAUSTED r5).
+    # Exact: tests/test_mixed_bwd.py.
+    MIXED = next(
+        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--mixed-bwd=")),
+        0,
+    )
+    if only in (None, "train") and MIXED:
+        import scipy.linalg as sla
+
+        from gpar_at_scale_tpu.ssm.blocked_grad import (
+            cotangent_factor,
+            whiten_bwd_ld_part,
+            whiten_bwd_mixed_chunk,
+        )
+
+        opt = optax.adam(5e-2)
+        Mz = Z.shape[0]
+
+        @jax.jit
+        def jfwd_light(p):
+            A, Q, R, H, U, Kuu = arrays(p)
+            G, logdet, _ = whiten_fwd_aux(A, Q, R, H, U)
+            return G, logdet, Kuu  # aux dead-code-eliminated by XLA
+
+        def host_bound(G, logdet, Kuu):
+            """P-form bound + closed-form cotangents in host f64 (the M x M
+            factorization passes the f32 cliff at cond(Gb+Kuu) ~ N/ridge)."""
+            G64 = np.asarray(G, np.float64)
+            K64 = np.asarray(Kuu, np.float64)
+            aa, g, Gb = G64[0, 0], G64[1:, 0], G64[1:, 1:]
+            cP = sla.cho_factor(Gb + K64, lower=True)
+            cK = sla.cho_factor(K64, lower=True)
+            ldP = 2.0 * np.sum(np.log(np.diag(cP[0])))
+            ldK = 2.0 * np.sum(np.log(np.diag(cK[0])))
+            beta = sla.cho_solve(cP, g)
+            val = -0.5 * (
+                N * _LOG_2PI + float(np.asarray(logdet)) + ldP - ldK + aa - g @ beta
+            )
+            Pinv = sla.cho_solve(cP, np.eye(Mz))
+            Kinv = sla.cho_solve(cK, np.eye(Mz))
+            Sm = -0.5 * (Pinv + np.outer(beta, beta))
+            ct_G = np.zeros((Mz + 1, Mz + 1))
+            ct_G[0, 0] = -0.5
+            ct_G[1:, 0] = beta
+            ct_G[1:, 1:] = Sm
+            ct_K = Sm + 0.5 * Kinv
+            return val, ct_G, -0.5, ct_K
+
+        @jax.jit
+        def jchunk(p, Fk):
+            A, Q, R, H, U, Kuu = arrays(p)
+            cA, cQ, cR, cU = whiten_bwd_mixed_chunk(A, Q, R, H, U, Fk)
+            _, vjp = jax.vjp(
+                lambda pp: (lambda o: (o[0], o[1], o[2], o[4]))(arrays(pp)), p
+            )
+            (g,) = vjp((cA, cQ, cR, cU))
+            return g
+
+        @jax.jit
+        def jld(p, ct_ld, ct_K):
+            A, Q, R, H, U, Kuu = arrays(p)
+            cA, cQ, cR = whiten_bwd_ld_part(A, Q, R, H, ct_ld)
+            _, vjp = jax.vjp(
+                lambda pp: (lambda o: (o[0], o[1], o[2], o[5]))(arrays(pp)), p
+            )
+            (g,) = vjp((cA, cQ, cR, ct_K))
+            return g
+
+        @jax.jit
+        def jadam(p, st, g):
+            up, st = opt.update(g, st)
+            return optax.apply_updates(p, up), st
+
+        def run_mixed(p0, steps, verbose=False):
+            p, st = p0, opt.init(p0)
+            vals = []
+            for s_i in range(steps):
+                t0 = time.time()
+                G, logdet, Kuu = jfwd_light(p)
+                val, ct_G, ct_ld, ct_K = host_bound(G, logdet, Kuu)
+                F = cotangent_factor(ct_G).astype(np.float32)
+                Bc = F.shape[0]
+                gtot = jld(p, jnp.float32(ct_ld), jnp.asarray(ct_K, f32))
+                for j in range(0, Bc, MIXED):
+                    Fk = F[:, j : j + MIXED]
+                    if Fk.shape[1] < MIXED:  # zero cols contribute exactly 0
+                        Fk = np.pad(Fk, ((0, 0), (0, MIXED - Fk.shape[1])))
+                    gtot = gtot + jchunk(p, jnp.asarray(Fk, f32))
+                p, st = jadam(p, st, -gtot / N)
+                vals.append(val)
+                if verbose and s_i == 0:
+                    float(np.asarray(p[0]))
+                    print(f"  [first mixed step] {time.time()-t0:.1f}s", flush=True)
+            float(np.asarray(p[0]))  # barrier
+            return p, vals
+
+        t0 = time.time()
+        p, vals = run_mixed(p0, STEPS, verbose=True)
+        print(f"mixed train compile+{STEPS} steps: {time.time()-t0:6.1f}s", flush=True)
+        t0 = time.time()
+        p, vals = run_mixed(p0, STEPS)
+        steady = time.time() - t0
+        nll = [-v / N for v in vals]
+        tl, tsig, ol, osig, ns = (float(v) for v in unpack_gpar(p))
+        nchunk = -(-(Mz + 1) // MIXED)
+        print(
+            f"(b) DTC train [mixed-bwd, M={Mz}, chunk={MIXED}]: "
+            f"{steady/STEPS*1e3:9.1f} ms/step ({N*STEPS/steady/1e6:7.2f} M "
+            f"filter steps/s fwd; ~{3+nchunk} dispatches/step)",
+            flush=True,
+        )
+        print(f"    nll/N trace: {['%.4f' % v for v in nll]}", flush=True)
+        print(
+            f"    optimized (tl, ts, ol, os, sn) = ({tl:.3f}, {tsig:.3f}, "
+            f"{ol:.3f}, {osig:.3f}, {ns:.3f})  true noise {true_sn}",
+            flush=True,
+        )
+
     # ---- (b) staged DTC training step -----------------------------------
     # THREE separately-compiled dispatches per step (fwd / bwd / pullback).
     # Folding arrays into fwd and the bound's Gram-cotangents into bwd
@@ -173,7 +297,7 @@ def main():
     # attempt and hangs >420 s on another, even a 64x64 warmup jit can
     # hang), so fewer compiles = fewer stall rolls; the queue retries the
     # whole row on a stall.
-    if only in (None, "train"):
+    if only in (None, "train") and not MIXED:
         opt = optax.adam(5e-2)
 
         @jax.jit

@@ -243,6 +243,126 @@ def whiten_bwd(A, Q, R, H, aux, ct_G, ct_ld, num_blocks: int = NUM_BLOCKS):
     return whiten_bwd_scores(A, Q, R, H, aux, r, Nmat, ct_G, ct_ld)
 
 
+# ---------------------------------------------------------------------------
+# Mixed-column (factored-cotangent) backward — bounded memory at ANY M.
+#
+# The staged backward above materializes full-width per-step aux
+# (m: (N, d, M+1)) and the full adjoint stack r: at M = 128 on a 16 GB v5e
+# the resident set OOMs (measured r5: million_dtc --m=128 --only=train,
+# RESOURCE_EXHAUSTED).  The fix is algebraic, not approximate:
+#
+#   * the Gram cotangent, symmetrized, is NEGATIVE DEFINITE for any
+#     cotangent produced by the DTC bound:  ctsym = -F F^T
+#     (-ctsym = 0.5*[[1, -beta^T], [-beta, P^-1 + beta beta^T]] whose Schur
+#     complement 0.5 P^-1 + 0.25 beta beta^T > 0), so F = chol(-ctsym)
+#     exists — computed on the HOST in f64 (M x M, microseconds);
+#   * every backward quantity is LINEAR in the observation columns: the
+#     filter's (v, m) recursions have zero init, b = H (x) (e/S) is linear
+#     in e, and the affine adjoint suffix r_k = b_k + C_k r_{k+1} shares C
+#     across columns.  Hence  r @ F = scan(filter(U @ F))  — mixing columns
+#     BEFORE the filter commutes with the whole pipeline.
+#
+# All pairwise column contractions then collapse to sums of per-chunk
+# outer products of MIXED columns:
+#     R2 = r ctsym r^T           = -sum_k (rF)_k (rF)_k^T
+#     Rm = r ctsym m_prev^T      = -sum_k (rF)_k (m_prev F)_k^T
+#     u ctsym u^T (diag)         = -sum_k (uF)_k^2
+#     ct_U = 2 u ctsym           = -2 (uF) F^T
+# so the backward runs over K-column chunks of U @ F, each chunk a
+# filter + suffix-scan + contraction program no wider than the proven
+# M = 32 path, with NOTHING full-width ever resident.  ct_ld's terms (the
+# column-shared N/D information recursion) come from one extra 1-column
+# dispatch.  Exact — asserted against ``whiten_bwd`` in
+# ``tests/test_mixed_bwd.py``.
+# ---------------------------------------------------------------------------
+
+
+def cotangent_factor(ct_G):
+    """Host-side F with  sym(ct_G) = -F F^T  (f64 Cholesky of the PSD
+    negation; tiny relative ridge for semidefinite edge cases).  Returns a
+    numpy (B, B) array; cast to the device dtype at the call site."""
+    import numpy as _np
+
+    ct = _np.asarray(ct_G, _np.float64)
+    Sneg = -0.5 * (ct + ct.T)
+    b = Sneg.shape[0]
+    ridge = 1e-12 * max(float(_np.trace(Sneg)) / b, 1e-300)
+    return _np.linalg.cholesky(Sneg + ridge * _np.eye(b))
+
+
+@jax.default_matmul_precision("highest")
+def whiten_bwd_mixed_chunk(A, Q, R, H, U, Fk, num_blocks: int = NUM_BLOCKS):
+    """Partial cotangents from one mixed-column chunk U @ Fk.
+
+    Fk: (M+1, K) columns of the cotangent factor F.  Returns
+    (ct_A_p, ct_Q_p, ct_R_p, ct_U_p) such that summing over chunks (plus
+    ``whiten_bwd_ld_part`` for the ct_ld terms) equals ``whiten_bwd``.
+    Everything here is chunk-width; no full-width array is created."""
+    n, d = A.shape[0], A.shape[-1]
+    dtype = A.dtype
+    lgssm = LGSSM(A=A, Q=Q, H=H, R=R)
+    Ut = U @ Fk  # (N, K) mixed columns
+    res = blocked_filter(lgssm, Ut, num_blocks)
+    e, S, m, P = res.v, res.S, res.m, res.P
+    K = jnp.einsum("nij,j->ni", res.Pp, H) / S[:, None]
+
+    I = jnp.eye(d, dtype=dtype)
+    A_next = jnp.concatenate([A[1:], jnp.zeros((1, d, d), dtype)])
+    ImKH = I[None] - K[:, :, None] * H[None, None, :]
+    C = jnp.swapaxes(A_next @ ImKH, -1, -2)
+    b = H[None, :, None] * (e / S[:, None])[:, None, :]  # (N, d, K)
+    W0 = jnp.zeros((n, d, d), dtype)
+    _, r, _ = blocked_suffix_scan(C, b, W0, num_blocks=num_blocks)  # r = (rF)_chunk
+
+    m_prev = jnp.concatenate([jnp.zeros_like(m[:1]), m[:-1]])
+    P_prev = jnp.concatenate([jnp.zeros((1, d, d), dtype), P[:-1]])
+    AP = A @ P_prev
+    P2 = jnp.einsum("nik,njk->nij", r, r)  # (rF)(rF)^T partial
+    Pm = jnp.einsum("nik,njk->nij", r, m_prev)
+
+    r_next = jnp.concatenate([r[1:], jnp.zeros_like(r[:1])])
+    AK = jnp.einsum("nij,nj->ni", A_next, K)
+    u = e / S[:, None] - jnp.einsum("nd,ndK->nK", AK, r_next)  # (Sigma^-1 U) F
+
+    ct_A_p = 2.0 * (P2 @ AP + Pm)  # = -2 (R2_p @ AP + Rm_p), R2_p = -P2
+    ct_Q_p = P2  # = -R2_p
+    ct_R_p = jnp.sum(u * u, axis=1)  # = -u ctsym u^T partial
+    ct_U_p = -2.0 * (u @ Fk.T)
+    return ct_A_p, ct_Q_p, ct_R_p, ct_U_p
+
+
+@jax.default_matmul_precision("highest")
+def whiten_bwd_ld_part(A, Q, R, H, ct_ld, num_blocks: int = NUM_BLOCKS):
+    """The column-shared ct_ld terms: one 1-column filter (for S, K, P) +
+    the information suffix recursion N -> (ct_A, ct_Q, ct_R) parts."""
+    n, d = A.shape[0], A.shape[-1]
+    dtype = A.dtype
+    lgssm = LGSSM(A=A, Q=Q, H=H, R=R)
+    res = blocked_filter(lgssm, jnp.zeros((n, 1), dtype), num_blocks)
+    S, P = res.S, res.P
+    K = jnp.einsum("nij,j->ni", res.Pp, H) / S[:, None]
+
+    I = jnp.eye(d, dtype=dtype)
+    A_next = jnp.concatenate([A[1:], jnp.zeros((1, d, d), dtype)])
+    ImKH = I[None] - K[:, :, None] * H[None, None, :]
+    C = jnp.swapaxes(A_next @ ImKH, -1, -2)
+    W = (1.0 / S)[:, None, None] * (H[:, None] * H[None, :])[None]
+    b0 = jnp.zeros((n, d, 1), dtype)
+    _, _, Nmat = blocked_suffix_scan(C, b0, W, num_blocks=num_blocks)
+
+    P_prev = jnp.concatenate([jnp.zeros((1, d, d), dtype), P[:-1]])
+    AP = A @ P_prev
+    N_next = jnp.concatenate([Nmat[1:], jnp.zeros_like(Nmat[:1])])
+    AK = jnp.einsum("nij,nj->ni", A_next, K)
+    D = 1.0 / S + jnp.einsum("nd,nde,ne->n", AK, N_next, AK)
+
+    ct_ld = jnp.asarray(ct_ld, dtype)
+    ct_A_p = (2.0 * ct_ld) * (Nmat @ AP)
+    ct_Q_p = ct_ld * Nmat
+    ct_R_p = ct_ld * D
+    return ct_A_p, ct_Q_p, ct_R_p
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _whiten_gram_p(num_blocks, A, Q, R, H, U):
     G, logdet, _ = whiten_fwd_aux(A, Q, R, H, U, num_blocks)
