@@ -136,8 +136,72 @@ def main():
         _check(arrays, bound_from_gram, whiten_fwd_aux, whiten_bwd, build, t, X, Z, y, N)
         return
 
+    MIXED = next(
+        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--mixed-bwd=")),
+        0,
+    )
+    # --fwd-chunk=K: stage the FORWARD whitening as K-column filter chunks
+    # that emit their whitened columns W_c, then one (M+1)x(M+1) Gram
+    # matmul over the stored W.  At M = 256 the single-dispatch forward's
+    # plan holds (N, d, 257) element temps (~12 GB padded) and OOMs
+    # (measured r5: m256_whiten RESOURCE_EXHAUSTED); W itself is only
+    # ~1.5 GB, so chunk-filter + store + one MXU matmul fits.  Exact.
+    FWDC = next(
+        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--fwd-chunk=")),
+        0,
+    )
+    if FWDC:
+        from gpar_at_scale_tpu.ssm.blocked import blocked_filter as _bfilter
+        from gpar_at_scale_tpu.ssm.markov import LGSSM as _LGSSM
+
+        @jax.jit
+        def jw_chunk(p, j):
+            A, Q, R, H, U, Kuu = arrays(p)
+            Upad = jnp.pad(U, ((0, 0), (0, (-U.shape[1]) % FWDC)))
+            Uc = jax.lax.dynamic_slice_in_dim(Upad, j, FWDC, 1)
+            res = _bfilter(_LGSSM(A=A, Q=Q, H=H, R=R), Uc)
+            W_c = res.v / jnp.sqrt(res.S)[:, None]
+            return W_c, jnp.sum(jnp.log(res.S)), Kuu
+
+        @jax.jit
+        def jgram_cat(Ws):
+            W = jnp.concatenate(Ws, axis=1)
+            with jax.default_matmul_precision("highest"):
+                return W.T @ W
+
+        def fwd_chunked(p):
+            ncols = Z.shape[0] + 1
+            padded = ncols + (-ncols) % FWDC
+            Ws, logdet, Kuu = [], None, None
+            for j in range(0, padded, FWDC):
+                W_c, ld, Kuu = jw_chunk(p, j)
+                Ws.append(W_c)
+                logdet = ld
+            G = jgram_cat(tuple(Ws))[:ncols, :ncols]
+            return G, logdet, Kuu
+
     # ---- (a) batched whitening ------------------------------------------
-    if only in (None, "whiten"):
+    if only in (None, "whiten") and FWDC:
+        t0 = time.time()
+        G, ldn, _ = fwd_chunked(p0)
+        float(np.asarray(ldn))
+        print(f"whiten (fwd-chunked) compile+1st: {time.time()-t0:6.1f}s", flush=True)
+        ncols = Z.shape[0] + 1
+        runs = []
+        for i in range(5):
+            p_i = p0 + f32((i + 1) * 1e-6)
+            t0 = time.time()
+            G, ldn, _ = fwd_chunked(p_i)
+            float(np.asarray(G[0, 0])) + float(np.asarray(ldn))
+            runs.append(time.time() - t0)
+        el = min(runs)
+        print(
+            f"(a) batched whiten [fwd-chunk={FWDC}, {ncols} cols x {N:,} steps]: "
+            f"{el*1e3:9.2f} ms ({N/el/1e6:7.2f} M steps/s, "
+            f"{N*ncols/el/1e6:8.1f} M col-steps/s)",
+            flush=True,
+        )
+    if only in (None, "whiten") and not FWDC:
         A, Q, R, H, U, Kuu = jax.jit(arrays)(p0)
 
         @jax.jit
@@ -172,10 +236,6 @@ def main():
     # full-width resident.  The direct staged backward OOMs at M = 128
     # (full-width aux m is (N, d, M+1); measured RESOURCE_EXHAUSTED r5).
     # Exact: tests/test_mixed_bwd.py.
-    MIXED = next(
-        (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--mixed-bwd=")),
-        0,
-    )
     if only in (None, "train") and MIXED:
         import scipy.linalg as sla
 
@@ -248,7 +308,7 @@ def main():
             vals = []
             for s_i in range(steps):
                 t0 = time.time()
-                G, logdet, Kuu = jfwd_light(p)
+                G, logdet, Kuu = fwd_chunked(p) if FWDC else jfwd_light(p)
                 val, ct_G, ct_ld, ct_K = host_bound(G, logdet, Kuu)
                 F = cotangent_factor(ct_G).astype(np.float32)
                 Bc = F.shape[0]
