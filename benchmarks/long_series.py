@@ -213,9 +213,10 @@ def main():
         # SEPARATE dispatches (the split that keeps million-step programs
         # compilable here; r4 verdict item 6).
         from gpar_at_scale_tpu.ssm.blocked import (
+            _chol_floor,
             _smoother_elements_fast,
+            blocked_affine_suffix_scan,
             blocked_filter,
-            ffbs_draw,
         )
 
         S = next(
@@ -225,10 +226,17 @@ def main():
         key = jax.random.PRNGKey(0)
         jfil = jax.jit(lambda yy: blocked_filter(lg, yy, num_blocks=nblocks))
 
+        # THREE dispatches (filter / elements+noise / affine scan): the fused
+        # elements+scan sampling program's padded (N,3,3) plan temps OOM at
+        # N=1e6 on 16 GB (measured r5 attempt 1); split halves peak plan.
         @jax.jit
-        def jsample(res, xi):
+        def jelems(res, xi):
             E, g, L = _smoother_elements_fast(lg, res)
-            x = ffbs_draw(E, g, L, xi, num_blocks=nblocks)
+            return E, g + _chol_floor(L) @ xi
+
+        @jax.jit
+        def jscan(E, g_s):
+            _, x = blocked_affine_suffix_scan(E, g_s, num_blocks=nblocks)
             return jnp.einsum("d,nds->sn", lg.H.astype(lg.A.dtype), x)
 
         d = lg.A.shape[-1]
@@ -238,10 +246,11 @@ def main():
         c_f = time.time() - t0
         xi = jax.random.normal(key, (N, d, S), jnp.float32)
         t0 = time.time()
-        f = jsample(fr, xi)
+        E, g_s = jelems(fr, xi)
+        f = jscan(E, g_s)
         float(np.asarray(f[0, 0]))
         c_s = time.time() - t0
-        print(f"ffbs compiles: filter {c_f:6.1f}s  sample {c_s:6.1f}s", flush=True)
+        print(f"ffbs compiles: filter {c_f:6.1f}s  elems+scan {c_s:6.1f}s", flush=True)
         runs_f, runs_s = [], []
         for i in range(4):
             t0 = time.time()
@@ -250,7 +259,8 @@ def main():
             runs_f.append(time.time() - t0)
             xi = jax.random.normal(jax.random.fold_in(key, i), (N, d, S), jnp.float32)
             t0 = time.time()
-            f = jsample(fr, xi)
+            E, g_s = jelems(fr, xi)
+            f = jscan(E, g_s)
             float(np.asarray(f[0, 0]))
             runs_s.append(time.time() - t0)
         el_f, el_s = min(runs_f), min(runs_s)

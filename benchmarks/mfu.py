@@ -99,12 +99,16 @@ def main():
     W = jnp.asarray(rng.normal(size=(N, M + 1)), jnp.float32)
     flops = 2.0 * N * (M + 1) ** 2
 
+    # NOTE each step consumes the FULL output (jnp.sum) — consuming a single
+    # entry lets XLA dead-code the matmul down to one column's dot product
+    # (measured r5 attempt 1: "3.5 PFLOP/s").
+
     def gram_highest(c, args):
         (Wa,) = args
         W2 = Wa.at[0, 0].add(c * 1e-20)
         with jax.default_matmul_precision("highest"):
             G = W2.T @ W2
-        return G[0, 0] * 1e-20 + c * 0.5
+        return jnp.sum(G) * 1e-20 + c * 0.5
 
     s = timed_loop(gram_highest, (W,), reps)
     report(f"(a) Gram W^T W  ({N:,} x {M+1}) f32-highest", flops, s, PEAK_F32_HIGHEST)
@@ -115,7 +119,7 @@ def main():
         (Wa,) = args
         W2 = Wa + c.astype(jnp.bfloat16) * 1e-8
         G = jnp.matmul(W2.T, W2, preferred_element_type=jnp.float32)
-        return G[0, 0] * 1e-20 + c * 0.5
+        return jnp.sum(G) * 1e-20 + c * 0.5
 
     s = timed_loop(gram_bf16, (Wb,), reps)
     report(f"    Gram W^T W  ({N:,} x {M+1}) bf16", flops, s, PEAK_BF16)
@@ -134,7 +138,7 @@ def main():
         with jax.default_matmul_precision("highest"):
             L = jnp.linalg.cholesky(S1)
             Wd = jax.scipy.linalg.solve_triangular(L, B0 + c * 1e-20, lower=True)
-        return Wd[0, 0] * 1e-20 + c * 0.5
+        return jnp.sum(Wd) * 1e-20 + c * 0.5
 
     s = timed_loop(dense_whiten, (Sigma, B), max(8, reps // 4))
     report(f"(b) dense whiten chol+trisolve ({n_d} x {m_d})", flops, s, PEAK_F32_HIGHEST)
@@ -150,7 +154,7 @@ def main():
         Y = jnp.matmul(
             X1 + c.astype(jnp.bfloat16) * 1e-8, X2, preferred_element_type=jnp.float32
         )
-        return Y[0, 0] * 1e-20 + c * 0.5
+        return jnp.sum(Y) * 1e-20 + c * 0.5
 
     s = timed_loop(mm, (A1, A2), reps)
     report(f"(c) control bf16 matmul {k}^3", flops, s, PEAK_BF16)

@@ -416,6 +416,64 @@ def _chol_floor(P):
     return jnp.where(bad[..., None, None], fallback, L)
 
 
+def _combine_affine(later, earlier):
+    """(earlier o later) of the affine part only: x_k = g_k + E_k x_later."""
+    E_l, g_l = later
+    E_e, g_e = earlier
+    return E_e @ E_l, jnp.einsum("...ab,...bB->...aB", E_e, g_l) + g_e
+
+
+def _affine_identity(B, d, C, dtype):
+    return (
+        jnp.broadcast_to(jnp.eye(d, dtype=dtype), (B, d, d)),
+        jnp.zeros((B, d, C), dtype),
+    )
+
+
+def blocked_affine_suffix_scan(E, g, num_blocks: int = NUM_BLOCKS, terminal=None):
+    """``blocked_suffix_scan`` restricted to the affine (E, g) half — the
+    FFBS sampling recursion x_k = g_k + E_k x_{k+1} needs no L-congruence,
+    and dropping it halves the scan's work AND its padded (N, d, d) plan
+    temporaries (the full scan's sampling program OOM'd at N = 1e6 on a
+    16 GB v5e — measured r5).  terminal: optional g_t (d, C) appended with
+    E_t = 0 (segment carry)."""
+    n, d = E.shape[0], E.shape[-1]
+    C = g.shape[-1]
+    dtype = E.dtype
+    B = max(1, min(num_blocks, n))
+    T = -(-n // B)
+    pad = B * T - n
+
+    ident_pad = _affine_identity(pad, d, C, dtype)
+    elems_b = tuple(
+        _block(jnp.concatenate([e, ip], axis=0), B, T)
+        for e, ip in zip((E, g), ident_pad)
+    )
+
+    def p1(carry, elem_t):
+        new = _combine_affine(carry, elem_t)
+        return new, new
+
+    totals, suffix = jax.lax.scan(
+        p1, _affine_identity(B, d, C, dtype), elems_b, reverse=True
+    )
+    scanned = jax.lax.associative_scan(_combine_affine, totals, axis=0, reverse=True)
+    ident1 = _affine_identity(1, d, C, dtype)
+    later = tuple(
+        jnp.concatenate([s[1:], i1], axis=0) for s, i1 in zip(scanned, ident1)
+    )
+    if terminal is not None:
+        e_t = (
+            jnp.zeros((1, d, d), dtype),
+            jnp.asarray(terminal, dtype).reshape(1, d, C),
+        )
+        e_tb = tuple(jnp.broadcast_to(e, (B,) + e.shape[1:]) for e in e_t)
+        later = _combine_affine(e_tb, later)
+    later_b = tuple(jnp.broadcast_to(x[None], (T,) + x.shape) for x in later)
+    out = _combine_affine(later_b, suffix)
+    return tuple(_unblock(x, n) for x in out)
+
+
 def ffbs_draw(E, g, L, xi, num_blocks: int = NUM_BLOCKS, x_term=None):
     """State-space joint posterior draws from FFBS elements.
 
@@ -423,13 +481,9 @@ def ffbs_draw(E, g, L, xi, num_blocks: int = NUM_BLOCKS, x_term=None):
     ``_smoother_elements_fast``; xi (n, d, S) standard normals; x_term
     optional (d, S) draw of the step AFTER this series (segment carry).
     Returns x (n, d, S)."""
-    n, d, S = xi.shape
     g_s = g + _chol_floor(L) @ xi  # (n, d, S)
-    zero_L = jnp.zeros((n, d, d), E.dtype)
-    terminal = None
-    if x_term is not None:
-        terminal = (jnp.asarray(x_term, E.dtype), jnp.zeros((d, d), E.dtype))
-    _, x, _ = blocked_suffix_scan(E, g_s, zero_L, num_blocks, terminal=terminal)
+    terminal = None if x_term is None else jnp.asarray(x_term, E.dtype)
+    _, x = blocked_affine_suffix_scan(E, g_s, num_blocks, terminal=terminal)
     return x
 
 
