@@ -226,43 +226,59 @@ def main():
         key = jax.random.PRNGKey(0)
         jfil = jax.jit(lambda yy: blocked_filter(lg, yy, num_blocks=nblocks))
 
-        # THREE dispatches (filter / elements+noise / affine scan): the fused
-        # elements+scan sampling program's padded (N,3,3) plan temps OOM at
-        # N=1e6 on 16 GB (measured r5 attempt 1); split halves peak plan.
+        # THREE dispatches (filter / elements+noise / affine scan), with the
+        # inter-dispatch residency slimmed to fit 16 GB at N=1e6: the filter
+        # result is FREED before the scan dispatch, and the (N, d, S) noise /
+        # mixed-g arrays travel FLAT (N, d*S) — the T(4,128) tile layout pads
+        # 3-d arrays ~4x (measured: fused and fr-resident variants both OOM).
         @jax.jit
-        def jelems(res, xi):
+        def jelems(res, xi_flat):
             E, g, L = _smoother_elements_fast(lg, res)
-            return E, g + _chol_floor(L) @ xi
+            xi = xi_flat.reshape(N, lg.dim, S)
+            g_s = g + _chol_floor(L) @ xi
+            return E, g_s.reshape(N, lg.dim * S)
 
         @jax.jit
-        def jscan(E, g_s):
-            _, x = blocked_affine_suffix_scan(E, g_s, num_blocks=nblocks)
+        def jscan(E, g_flat):
+            _, x = blocked_affine_suffix_scan(
+                E, g_flat.reshape(N, lg.dim, S), num_blocks=nblocks
+            )
             return jnp.einsum("d,nds->sn", lg.H.astype(lg.A.dtype), x)
 
         d = lg.A.shape[-1]
+
+        def one_draw(i):
+            fr = jfil(y[:, None] + jnp.float32(i * 1e-6))
+            float(np.asarray(fr.ll[0]))
+            t0 = time.time()
+            xi = jax.random.normal(
+                jax.random.fold_in(key, i), (N, d * S), jnp.float32
+            )
+            E, g_flat = jelems(fr, xi)
+            del fr, xi  # free filter buffers before the scan dispatch
+            f = jscan(E, g_flat)
+            del E, g_flat
+            float(np.asarray(f[0, 0]))
+            return f, time.time() - t0
+
         t0 = time.time()
         fr = jfil(y[:, None])
         float(np.asarray(fr.ll[0]))
         c_f = time.time() - t0
-        xi = jax.random.normal(key, (N, d, S), jnp.float32)
+        del fr
         t0 = time.time()
-        E, g_s = jelems(fr, xi)
-        f = jscan(E, g_s)
-        float(np.asarray(f[0, 0]))
+        f, _ = one_draw(0)
         c_s = time.time() - t0
         print(f"ffbs compiles: filter {c_f:6.1f}s  elems+scan {c_s:6.1f}s", flush=True)
         runs_f, runs_s = [], []
-        for i in range(4):
+        for i in range(1, 5):
             t0 = time.time()
             fr = jfil(y[:, None] + jnp.float32(i * 1e-6))
             float(np.asarray(fr.ll[0]))
             runs_f.append(time.time() - t0)
-            xi = jax.random.normal(jax.random.fold_in(key, i), (N, d, S), jnp.float32)
-            t0 = time.time()
-            E, g_s = jelems(fr, xi)
-            f = jscan(E, g_s)
-            float(np.asarray(f[0, 0]))
-            runs_s.append(time.time() - t0)
+            del fr
+            f, el = one_draw(i)
+            runs_s.append(el)
         el_f, el_s = min(runs_f), min(runs_s)
         fm = np.asarray(f)
         print(
