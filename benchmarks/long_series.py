@@ -236,12 +236,16 @@ def main():
             E, g, L = _smoother_elements_fast(lg, res)
             xi = xi_flat.reshape(N, lg.dim, S)
             g_s = g + _chol_floor(L) @ xi
-            return E, g_s.reshape(N, lg.dim * S)
+            # E travels flat too: a (N, d, d) output buffer is tiled
+            # T(4,128) on TPU (~2 GB at N=1e6 vs 36 MB packed).
+            return E.reshape(N, lg.dim * lg.dim), g_s.reshape(N, lg.dim * S)
 
         @jax.jit
-        def jscan(E, g_flat):
+        def jscan(E_flat, g_flat):
             _, x = blocked_affine_suffix_scan(
-                E, g_flat.reshape(N, lg.dim, S), num_blocks=nblocks
+                E_flat.reshape(N, lg.dim, lg.dim),
+                g_flat.reshape(N, lg.dim, S),
+                num_blocks=nblocks,
             )
             return jnp.einsum("d,nds->sn", lg.H.astype(lg.A.dtype), x)
 
