@@ -32,7 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from examples._common import setup_jax  # noqa: E402
+from examples._common import chol_psd, farthest_points, setup_jax  # noqa: E402
 
 jax = setup_jax(cpu="--cpu" in sys.argv, x64=False)
 
@@ -195,6 +195,8 @@ def main():
         G, logdet, aux = whiten_fwd_aux(A, Q, R, H, U)
         return A, Q, R, H, U, Kuu, G, logdet, aux
 
+    jitter_max = [0.0]  # max relative diagonal jitter accepted this output
+
     def host_bound(G, logdet, Kuu):
         """P-form bound + closed-form cotangents, on the HOST in f64.
 
@@ -203,8 +205,13 @@ def main():
         for strongly-correlated K_fu columns (measured: the chain's 1-D
         early conditionals), past the f32 Cholesky cliff — the on-chip f32
         factorization NaNs.  f64 on the host costs microseconds and keeps
-        every O(N) program f32 on-chip.  Cotangents (matching jax.grad of
-        the on-chip P-form, entries only where consumed):
+        every O(N) program f32 on-chip.  The on-chip f32 Gram's OWN error
+        (~sqrt(N)*eps_f32 of the O(N) diagonal) can still leave Gb + Kuu
+        numerically indefinite in f64 (measured r5 attempt 1 at the 2nd
+        conditional), so the factorizations go through ``chol_psd``
+        (escalating relative jitter, reported per output).  Cotangents
+        (matching jax.grad of the on-chip P-form, entries only where
+        consumed):
             beta = P^-1 g,  S = -(P^-1 + beta beta^T)/2
             ct_G[0,0] = -1/2; ct_G[1:,0] = beta; ct_G[1:,1:] = S
             ct_ld = -1/2;  ct_K = S + Kuu^-1/2."""
@@ -214,10 +221,13 @@ def main():
         K64 = np.asarray(Kuu, np.float64)
         aa, g, Gb = G64[0, 0], G64[1:, 0], G64[1:, 1:]
         Pm = Gb + K64
-        cP = sla.cho_factor(Pm, lower=True)
-        cK = sla.cho_factor(K64, lower=True)
-        ldP = 2.0 * np.sum(np.log(np.diag(cP[0])))
-        ldK = 2.0 * np.sum(np.log(np.diag(cK[0])))
+        L_P, jP = chol_psd(Pm)
+        L_K, jK = chol_psd(K64)
+        cP = (L_P, True)
+        cK = (L_K, True)
+        jitter_max[0] = max(jitter_max[0], jP, jK)
+        ldP = 2.0 * np.sum(np.log(np.diag(L_P)))
+        ldK = 2.0 * np.sum(np.log(np.diag(L_K)))
         beta = sla.cho_solve(cP, g)
         val = -0.5 * (
             N * _LOG_2PI + float(np.asarray(logdet)) + ldP - ldK + aa - g @ beta
@@ -294,12 +304,12 @@ def main():
         G64 = np.asarray(G, np.float64)
         K64 = np.asarray(Kuu, np.float64)
         g, Gb = G64[1:, 0], G64[1:, 1:]
-        L_uu = np.linalg.cholesky(K64)
+        L_uu, _ = chol_psd(K64)
         AAt = sla.solve_triangular(
             L_uu, sla.solve_triangular(L_uu, Gb, lower=True).T, lower=True
         )
         D = AAt + np.eye(M)
-        L_D = np.linalg.cholesky(0.5 * (D + D.T))
+        L_D, _ = chol_psd(D)
         Aalpha = sla.solve_triangular(L_uu, g, lower=True)
         m_eps = sla.solve_triangular(
             L_D.T, sla.solve_triangular(L_D, Aalpha, lower=True), lower=False
@@ -420,11 +430,14 @@ def main():
     pred_vars = [var1]
     rmses, covs, train_s, pred_s = [rmse1], [], [tr1], [pr1]
 
-    stride = max(1, N // M)
     for i in range(1, P):
         Xc = pad_w(Y[:, :i])
-        Zc = Xc[::stride][:M]
+        # farthest-point (k-center) inducing selection: strided subsampling
+        # of a bounded signal picks near-duplicate rows -> K_uu nearly
+        # singular, whitened-Gram columns collinear (the r5 f64 cliff).
+        Zc = pad_w(jnp.asarray(farthest_points(Y_np[:, :i], M, seed=i), f32))
         y_i = Y[:, i]
+        jitter_max[0] = 0.0
         t0 = time.time()
         p_i, nlls = train_cond(p0, Xc, Zc, y_i, STEPS)
         tr = time.time() - t0
@@ -449,7 +462,7 @@ def main():
         print(
             f"[y{i+1:02d} scaled   ] train {tr:7.1f}s ({tr/STEPS*1e3:7.1f} ms/step)  "
             f"predict {pr:6.1f}s  nll/N {nlls[0]:.4f}->{nlls[-1]:.4f}  "
-            f"rmse {rmse:.4f}  cov2s {cov:.3f}",
+            f"rmse {rmse:.4f}  cov2s {cov:.3f}  jit {jitter_max[0]:.0e}",
             flush=True,
         )
 

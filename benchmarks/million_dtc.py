@@ -35,7 +35,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from examples._common import setup_jax  # noqa: E402
+from examples._common import chol_psd, setup_jax  # noqa: E402
 
 jax = setup_jax(cpu="--cpu" in sys.argv, x64=False)
 
@@ -260,10 +260,15 @@ def main():
             G64 = np.asarray(G, np.float64)
             K64 = np.asarray(Kuu, np.float64)
             aa, g, Gb = G64[0, 0], G64[1:, 0], G64[1:, 1:]
-            cP = sla.cho_factor(Gb + K64, lower=True)
-            cK = sla.cho_factor(K64, lower=True)
-            ldP = 2.0 * np.sum(np.log(np.diag(cP[0])))
-            ldK = 2.0 * np.sum(np.log(np.diag(cK[0])))
+            # chol_psd: the f32 on-chip Gram's own error can leave Gb + Kuu
+            # numerically indefinite in f64 (r5 chain finding) — escalating
+            # relative jitter, negligible vs the Gram's f32 error.
+            L_P, _ = chol_psd(Gb + K64)
+            L_K, _ = chol_psd(K64)
+            cP = (L_P, True)
+            cK = (L_K, True)
+            ldP = 2.0 * np.sum(np.log(np.diag(L_P)))
+            ldK = 2.0 * np.sum(np.log(np.diag(L_K)))
             beta = sla.cho_solve(cP, g)
             val = -0.5 * (
                 N * _LOG_2PI + float(np.asarray(logdet)) + ldP - ldK + aa - g @ beta

@@ -107,3 +107,55 @@ def sync(*trees):
         for leaf in jax.tree.leaves(tr):
             tot += float(leaf.ravel()[0]) * 0.0
     return tot
+
+
+def chol_psd(Amat, max_rel=0.1):
+    """Host-f64 Cholesky with escalating diagonal jitter.
+
+    An on-chip f32 whitened Gram carries absolute error ~ sqrt(N)*eps_f32 of
+    its O(N) diagonal, and near-duplicate inducing columns push
+    cond(Gb + Kuu) past 1e9 — so the M x M matrix handed to the host can be
+    numerically indefinite even though the exact matrix is PSD.  Symmetrize
+    and retry with jitter 1e-12, 1e-11, ... of the diagonal scale; the
+    accepted perturbation is the same order as (or far below) the f32
+    Gram's own error, so the bound/gradients are unchanged to working
+    precision.  Returns (L, rel_jitter).
+    """
+    import numpy as np
+
+    Amat = np.asarray(Amat, np.float64)
+    Amat = 0.5 * (Amat + Amat.T)
+    scale = max(float(np.max(np.diag(Amat))), 1e-300)
+    eps = 0.0
+    while True:
+        try:
+            M_j = Amat + eps * np.eye(Amat.shape[0]) if eps else Amat
+            return np.linalg.cholesky(M_j), eps / scale
+        except np.linalg.LinAlgError:
+            eps = 1e-12 * scale if eps == 0.0 else eps * 10.0
+            if eps > max_rel * scale:
+                raise
+
+
+def farthest_points(V, M, seed=0, max_sub=65536):
+    """Greedy max-min (k-center) inducing-point selection on the host.
+
+    Strided subsampling of a bounded signal picks near-duplicate rows,
+    which makes K_uu nearly singular and the whitened Gram's columns
+    collinear (the r5 chain f64-cliff); well-separated points fix the
+    conditioning at the source AND cover the conditioning space better.
+    O(M * max_sub * d) on a fixed-seed subsample.
+    """
+    import numpy as np
+
+    V = np.asarray(V, np.float64)
+    rs = np.random.default_rng(seed)
+    if len(V) > max_sub:
+        V = V[rs.choice(len(V), size=max_sub, replace=False)]
+    sel = np.empty((M, V.shape[1]))
+    sel[0] = V[0]
+    d2 = np.sum((V - sel[0]) ** 2, axis=1)
+    for j in range(1, M):
+        sel[j] = V[int(np.argmax(d2))]
+        d2 = np.minimum(d2, np.sum((V - sel[j]) ** 2, axis=1))
+    return sel
