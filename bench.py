@@ -224,8 +224,9 @@ def main():
     mfu = flops / pipeline_s / peak
     print(
         f"pipeline flops ~ {flops:.3g}  ->  {flops/pipeline_s/1e9:.1f} GFLOP/s "
-        f"= {mfu*100:.3f}% MFU of v5e bf16 peak (N=156 is latency-bound; the "
-        f"MXU roofline is irrelevant at this size — see BENCHMARKS.md)",
+        f"= {mfu*100:.3f}% MFU of v5e bf16 peak (N=156 is latency-bound; "
+        f"compute-bound configs measured at 41-98% of peak in "
+        f"benchmarks/mfu.py — BENCHMARKS.md 'Round 5: compute-bound MFU')",
         file=sys.stderr,
     )
 
