@@ -36,9 +36,9 @@ run mfu 1800 2 python benchmarks/mfu.py
 run chain_16out_1m 5400 2 python benchmarks/chain_scale.py 1000000 --outputs=16 --steps=10
 
 # 3. M-scaling train via the mixed-column backward; M=256 also fwd-chunked
-run m128_train 3000 2 python benchmarks/million_dtc.py 1000000 --m=128 --only=train --steps=10 --mixed-bwd=32
+run m128_train 3000 2 python benchmarks/million_dtc.py 1000000 --m=128 --only=train --steps=10 --mixed-bwd=8
 run m256_whiten 2400 2 python benchmarks/million_dtc.py 1000000 --m=256 --only=whiten --fwd-chunk=64
-run m256_train 3600 2 python benchmarks/million_dtc.py 1000000 --m=256 --only=train --steps=10 --mixed-bwd=32 --fwd-chunk=64
+run m256_train 3600 2 python benchmarks/million_dtc.py 1000000 --m=256 --only=train --steps=10 --mixed-bwd=8 --fwd-chunk=64
 
 # 4. blocked FFBS at 1M (E + g now travel flat between dispatches)
 run ffbs_1m 2400 2 python benchmarks/long_series.py 1000000 --only=ffbs --samples=4
