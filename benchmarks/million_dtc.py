@@ -150,18 +150,25 @@ def main():
         (int(a.split("=")[1]) for a in sys.argv[1:] if a.startswith("--fwd-chunk=")),
         0,
     )
+    jarrays = jax.jit(arrays)
+
     if FWDC:
         from gpar_at_scale_tpu.ssm.blocked import blocked_filter as _bfilter
         from gpar_at_scale_tpu.ssm.markov import LGSSM as _LGSSM
 
+        # NOTE each program takes the PREBUILT arrays as traced arguments.
+        # Inlining arrays(p) (kernel eval + discretize) into the same
+        # program as the filter stalls the remote compile service on EVERY
+        # attempt at M=128 (r5; 3 stalls >10 min), while the arrays-as-args
+        # whiten compiles in ~40 s — the same split that makes
+        # chain_scale.py's shared compile set work.
         @jax.jit
-        def jw_chunk(p, j):
-            A, Q, R, H, U, Kuu = arrays(p)
+        def jw_chunk(A, Q, R, H, U, j):
             Upad = jnp.pad(U, ((0, 0), (0, (-U.shape[1]) % FWDC)))
             Uc = jax.lax.dynamic_slice_in_dim(Upad, j, FWDC, 1)
             res = _bfilter(_LGSSM(A=A, Q=Q, H=H, R=R), Uc)
             W_c = res.v / jnp.sqrt(res.S)[:, None]
-            return W_c, jnp.sum(jnp.log(res.S)), Kuu
+            return W_c, jnp.sum(jnp.log(res.S))
 
         @jax.jit
         def jgram_cat(Ws):
@@ -170,20 +177,22 @@ def main():
                 return W.T @ W
 
         def fwd_chunked(p):
+            arrs = jarrays(p)
+            A, Q, R, H, U, Kuu = arrs
             ncols = Z.shape[0] + 1
             padded = ncols + (-ncols) % FWDC
-            Ws, logdet, Kuu = [], None, None
+            Ws, logdet = [], None
             for j in range(0, padded, FWDC):
-                W_c, ld, Kuu = jw_chunk(p, j)
+                W_c, ld = jw_chunk(A, Q, R, H, U, j)
                 Ws.append(W_c)
                 logdet = ld
             G = jgram_cat(tuple(Ws))[:ncols, :ncols]
-            return G, logdet, Kuu
+            return G, logdet, Kuu, arrs
 
     # ---- (a) batched whitening ------------------------------------------
     if only in (None, "whiten") and FWDC:
         t0 = time.time()
-        G, ldn, _ = fwd_chunked(p0)
+        G, ldn, _, _ = fwd_chunked(p0)
         float(np.asarray(ldn))
         print(f"whiten (fwd-chunked) compile+1st: {time.time()-t0:6.1f}s", flush=True)
         ncols = Z.shape[0] + 1
@@ -191,7 +200,7 @@ def main():
         for i in range(5):
             p_i = p0 + f32((i + 1) * 1e-6)
             t0 = time.time()
-            G, ldn, _ = fwd_chunked(p_i)
+            G, ldn, _, _ = fwd_chunked(p_i)
             float(np.asarray(G[0, 0])) + float(np.asarray(ldn))
             runs.append(time.time() - t0)
         el = min(runs)
@@ -248,11 +257,12 @@ def main():
         opt = optax.adam(5e-2)
         Mz = Z.shape[0]
 
+        # arrays-as-args staging throughout (see the fwd-chunk NOTE: fusing
+        # arrays(p) into the filter program stalls the remote compiler).
         @jax.jit
-        def jfwd_light(p):
-            A, Q, R, H, U, Kuu = arrays(p)
+        def jwhiten_full(A, Q, R, H, U):
             G, logdet, _ = whiten_fwd_aux(A, Q, R, H, U)
-            return G, logdet, Kuu  # aux dead-code-eliminated by XLA
+            return G, logdet  # aux dead-code-eliminated by XLA
 
         def host_bound(G, logdet, Kuu):
             """P-form bound + closed-form cotangents in host f64 (the M x M
@@ -284,27 +294,27 @@ def main():
             return val, ct_G, -0.5, ct_K
 
         @jax.jit
-        def jchunk(p, Fk):
-            A, Q, R, H, U, Kuu = arrays(p)
-            cA, cQ, cR, cU = whiten_bwd_mixed_chunk(A, Q, R, H, U, Fk)
-            _, vjp = jax.vjp(
-                lambda pp: (lambda o: (o[0], o[1], o[2], o[4]))(arrays(pp)), p
-            )
-            (g,) = vjp((cA, cQ, cR, cU))
-            return g
+        def jchunk(A, Q, R, H, U, Fk):
+            return whiten_bwd_mixed_chunk(A, Q, R, H, U, Fk)
 
         @jax.jit
-        def jld(p, ct_ld, ct_K):
-            A, Q, R, H, U, Kuu = arrays(p)
+        def jld(A, Q, R, H, ct_ld, U):
             cA, cQ, cR = whiten_bwd_ld_part(A, Q, R, H, ct_ld)
-            _, vjp = jax.vjp(
-                lambda pp: (lambda o: (o[0], o[1], o[2], o[5]))(arrays(pp)), p
-            )
-            (g,) = vjp((cA, cQ, cR, ct_K))
-            return g
+            return cA, cQ, cR, jnp.zeros_like(U)
 
         @jax.jit
-        def jadam(p, st, g):
+        def jacc(cts, d):
+            return jax.tree.map(jnp.add, cts, d)
+
+        @jax.jit
+        def jpull(p, st, cA, cQ, cR, cU, ct_K):
+            def rebuild(pp):
+                A, Q, R, H, U, Kuu = arrays(pp)
+                return A, Q, R, U, Kuu
+
+            _, vjp = jax.vjp(rebuild, p)
+            (g,) = vjp((cA, cQ, cR, cU, ct_K))
+            g = -g / N
             up, st = opt.update(g, st)
             return optax.apply_updates(p, up), st
 
@@ -313,17 +323,21 @@ def main():
             vals = []
             for s_i in range(steps):
                 t0 = time.time()
-                G, logdet, Kuu = fwd_chunked(p) if FWDC else jfwd_light(p)
+                if FWDC:
+                    G, logdet, Kuu, (A, Q, R, H, U, _) = fwd_chunked(p)
+                else:
+                    A, Q, R, H, U, Kuu = jarrays(p)
+                    G, logdet = jwhiten_full(A, Q, R, H, U)
                 val, ct_G, ct_ld, ct_K = host_bound(G, logdet, Kuu)
                 F = cotangent_factor(ct_G).astype(np.float32)
                 Bc = F.shape[0]
-                gtot = jld(p, jnp.float32(ct_ld), jnp.asarray(ct_K, f32))
+                cts = jld(A, Q, R, H, jnp.float32(ct_ld), U)
                 for j in range(0, Bc, MIXED):
                     Fk = F[:, j : j + MIXED]
                     if Fk.shape[1] < MIXED:  # zero cols contribute exactly 0
                         Fk = np.pad(Fk, ((0, 0), (0, MIXED - Fk.shape[1])))
-                    gtot = gtot + jchunk(p, jnp.asarray(Fk, f32))
-                p, st = jadam(p, st, -gtot / N)
+                    cts = jacc(cts, jchunk(A, Q, R, H, U, jnp.asarray(Fk, f32)))
+                p, st = jpull(p, st, *cts, jnp.asarray(ct_K, f32))
                 vals.append(val)
                 if verbose and s_i == 0:
                     float(np.asarray(p[0]))
