@@ -293,25 +293,35 @@ def main():
             ct_K = Sm + 0.5 * Kinv
             return val, ct_G, -0.5, ct_K
 
+        # state dim for reshaping the FLAT inter-dispatch cotangents: a
+        # (N, d, d) output buffer is tiled T(4,128) on TPU (~2 GB at N=1e6
+        # vs 36 MB packed) — accumulating tiled cA/cQ across chunks OOM'd
+        # the 16 GB chip at step 2 (measured r5).
+        d_state = int(jax.eval_shape(arrays, p0)[0].shape[-1])
+
         @jax.jit
         def jchunk(A, Q, R, H, U, Fk):
-            return whiten_bwd_mixed_chunk(A, Q, R, H, U, Fk)
+            cA, cQ, cR, cU = whiten_bwd_mixed_chunk(A, Q, R, H, U, Fk)
+            return cA.reshape(-1), cQ.reshape(-1), cR, cU.reshape(-1)
 
         @jax.jit
         def jld(A, Q, R, H, ct_ld, U):
             cA, cQ, cR = whiten_bwd_ld_part(A, Q, R, H, ct_ld)
-            return cA, cQ, cR, jnp.zeros_like(U)
+            return cA.reshape(-1), cQ.reshape(-1), cR, jnp.zeros(U.size, U.dtype)
 
         @jax.jit
-        def jacc(cts, d):
-            return jax.tree.map(jnp.add, cts, d)
+        def jacc(cts, dlt):
+            return jax.tree.map(jnp.add, cts, dlt)
 
         @jax.jit
-        def jpull(p, st, cA, cQ, cR, cU, ct_K):
+        def jpull(p, st, cAf, cQf, cR, cUf, ct_K):
             def rebuild(pp):
                 A, Q, R, H, U, Kuu = arrays(pp)
                 return A, Q, R, U, Kuu
 
+            cA = cAf.reshape(N, d_state, d_state)
+            cQ = cQf.reshape(N, d_state, d_state)
+            cU = cUf.reshape(N, Mz + 1)
             _, vjp = jax.vjp(rebuild, p)
             (g,) = vjp((cA, cQ, cR, cU, ct_K))
             g = -g / N
@@ -329,6 +339,7 @@ def main():
                     A, Q, R, H, U, Kuu = jarrays(p)
                     G, logdet = jwhiten_full(A, Q, R, H, U)
                 val, ct_G, ct_ld, ct_K = host_bound(G, logdet, Kuu)
+                del G, logdet, Kuu
                 F = cotangent_factor(ct_G).astype(np.float32)
                 Bc = F.shape[0]
                 cts = jld(A, Q, R, H, jnp.float32(ct_ld), U)
@@ -337,7 +348,9 @@ def main():
                     if Fk.shape[1] < MIXED:  # zero cols contribute exactly 0
                         Fk = np.pad(Fk, ((0, 0), (0, MIXED - Fk.shape[1])))
                     cts = jacc(cts, jchunk(A, Q, R, H, U, jnp.asarray(Fk, f32)))
+                del A, Q, R, H, U  # free the tiled args before the pullback
                 p, st = jpull(p, st, *cts, jnp.asarray(ct_K, f32))
+                del cts
                 vals.append(val)
                 if verbose and s_i == 0:
                     float(np.asarray(p[0]))
