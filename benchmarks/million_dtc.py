@@ -152,6 +152,25 @@ def main():
     )
     jarrays = jax.jit(arrays)
 
+    # FLAT inter-dispatch layout: (N, d, d) buffers are tiled T(4,128)
+    # (~2 GB each at N=1e6 vs 36 MB packed) and (N, M+1) pads the column
+    # axis to 128-multiples; shipping A/Q/U flat between programs and
+    # reshaping inside the consumer keeps the resident set ~1 GB instead
+    # of ~6 GB (the m256 train OOM, r5).
+    _d_state = int(jax.eval_shape(arrays, p0)[0].shape[-1])
+    _ncols = Z.shape[0] + 1
+
+    @jax.jit
+    def jarrays_flat(p):
+        A, Q, R, H, U, Kuu = arrays(p)
+        return A.reshape(-1), Q.reshape(-1), R, H, U.reshape(-1), Kuu
+
+    def _unflat(Af, Qf, Uf):
+        A = Af.reshape(N, _d_state, _d_state)
+        Q = Qf.reshape(N, _d_state, _d_state)
+        U = Uf.reshape(N, _ncols)
+        return A, Q, U
+
     if FWDC:
         from gpar_at_scale_tpu.ssm.blocked import blocked_filter as _bfilter
         from gpar_at_scale_tpu.ssm.markov import LGSSM as _LGSSM
@@ -163,7 +182,8 @@ def main():
         # whiten compiles in ~40 s — the same split that makes
         # chain_scale.py's shared compile set work.
         @jax.jit
-        def jw_chunk(A, Q, R, H, U, j):
+        def jw_chunk(Af, Qf, R, H, Uf, j):
+            A, Q, U = _unflat(Af, Qf, Uf)
             Upad = jnp.pad(U, ((0, 0), (0, (-U.shape[1]) % FWDC)))
             Uc = jax.lax.dynamic_slice_in_dim(Upad, j, FWDC, 1)
             res = _bfilter(_LGSSM(A=A, Q=Q, H=H, R=R), Uc)
@@ -177,13 +197,13 @@ def main():
                 return W.T @ W
 
         def fwd_chunked(p):
-            arrs = jarrays(p)
-            A, Q, R, H, U, Kuu = arrs
+            arrs = jarrays_flat(p)
+            Af, Qf, R, H, Uf, Kuu = arrs
             ncols = Z.shape[0] + 1
             padded = ncols + (-ncols) % FWDC
             Ws, logdet = [], None
             for j in range(0, padded, FWDC):
-                W_c, ld = jw_chunk(A, Q, R, H, U, j)
+                W_c, ld = jw_chunk(Af, Qf, R, H, Uf, j)
                 Ws.append(W_c)
                 logdet = ld
             G = jgram_cat(tuple(Ws))[:ncols, :ncols]
@@ -260,7 +280,8 @@ def main():
         # arrays-as-args staging throughout (see the fwd-chunk NOTE: fusing
         # arrays(p) into the filter program stalls the remote compiler).
         @jax.jit
-        def jwhiten_full(A, Q, R, H, U):
+        def jwhiten_full(Af, Qf, R, H, Uf):
+            A, Q, U = _unflat(Af, Qf, Uf)
             G, logdet, _ = whiten_fwd_aux(A, Q, R, H, U)
             return G, logdet  # aux dead-code-eliminated by XLA
 
@@ -293,19 +314,15 @@ def main():
             ct_K = Sm + 0.5 * Kinv
             return val, ct_G, -0.5, ct_K
 
-        # state dim for reshaping the FLAT inter-dispatch cotangents: a
-        # (N, d, d) output buffer is tiled T(4,128) on TPU (~2 GB at N=1e6
-        # vs 36 MB packed) — accumulating tiled cA/cQ across chunks OOM'd
-        # the 16 GB chip at step 2 (measured r5).
-        d_state = int(jax.eval_shape(arrays, p0)[0].shape[-1])
-
         @jax.jit
-        def jchunk(A, Q, R, H, U, Fk):
+        def jchunk(Af, Qf, R, H, Uf, Fk):
+            A, Q, U = _unflat(Af, Qf, Uf)
             cA, cQ, cR, cU = whiten_bwd_mixed_chunk(A, Q, R, H, U, Fk)
             return cA.reshape(-1), cQ.reshape(-1), cR, cU.reshape(-1)
 
         @jax.jit
-        def jld(A, Q, R, H, ct_ld, U):
+        def jld(Af, Qf, R, H, ct_ld, Uf):
+            A, Q, U = _unflat(Af, Qf, Uf)
             cA, cQ, cR = whiten_bwd_ld_part(A, Q, R, H, ct_ld)
             return cA.reshape(-1), cQ.reshape(-1), cR, jnp.zeros(U.size, U.dtype)
 
@@ -319,8 +336,8 @@ def main():
                 A, Q, R, H, U, Kuu = arrays(pp)
                 return A, Q, R, U, Kuu
 
-            cA = cAf.reshape(N, d_state, d_state)
-            cQ = cQf.reshape(N, d_state, d_state)
+            cA = cAf.reshape(N, _d_state, _d_state)
+            cQ = cQf.reshape(N, _d_state, _d_state)
             cU = cUf.reshape(N, Mz + 1)
             _, vjp = jax.vjp(rebuild, p)
             (g,) = vjp((cA, cQ, cR, cU, ct_K))
@@ -334,21 +351,21 @@ def main():
             for s_i in range(steps):
                 t0 = time.time()
                 if FWDC:
-                    G, logdet, Kuu, (A, Q, R, H, U, _) = fwd_chunked(p)
+                    G, logdet, Kuu, (Af, Qf, R, H, Uf, _) = fwd_chunked(p)
                 else:
-                    A, Q, R, H, U, Kuu = jarrays(p)
-                    G, logdet = jwhiten_full(A, Q, R, H, U)
+                    Af, Qf, R, H, Uf, Kuu = jarrays_flat(p)
+                    G, logdet = jwhiten_full(Af, Qf, R, H, Uf)
                 val, ct_G, ct_ld, ct_K = host_bound(G, logdet, Kuu)
                 del G, logdet, Kuu
                 F = cotangent_factor(ct_G).astype(np.float32)
                 Bc = F.shape[0]
-                cts = jld(A, Q, R, H, jnp.float32(ct_ld), U)
+                cts = jld(Af, Qf, R, H, jnp.float32(ct_ld), Uf)
                 for j in range(0, Bc, MIXED):
                     Fk = F[:, j : j + MIXED]
                     if Fk.shape[1] < MIXED:  # zero cols contribute exactly 0
                         Fk = np.pad(Fk, ((0, 0), (0, MIXED - Fk.shape[1])))
-                    cts = jacc(cts, jchunk(A, Q, R, H, U, jnp.asarray(Fk, f32)))
-                del A, Q, R, H, U  # free the tiled args before the pullback
+                    cts = jacc(cts, jchunk(Af, Qf, R, H, Uf, jnp.asarray(Fk, f32)))
+                del Af, Qf, R, H, Uf  # free the args before the pullback
                 p, st = jpull(p, st, *cts, jnp.asarray(ct_K, f32))
                 del cts
                 vals.append(val)
